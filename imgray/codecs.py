@@ -1,0 +1,259 @@
+"""Self-contained image codecs + perceptual hash (SURVEY.md §7 step 2).
+
+No Pillow in this sandbox, so the codecs are written from scratch on
+numpy + stdlib zlib:
+
+  * PNG  — 8-bit RGB, zlib/filter-0 encode; full filter-0..4 decode.
+  * BMP  — 24-bit BI_RGB bottom-up.
+  * LSY  — a small DCT-quantization lossy codec (stands in for JPEG so
+    the PSNR≥40 dB per-row invariant of BASELINE.json input_hint is
+    exercised for real).
+  * magic-number format sniffing (reference: magic_number_type,
+    /root/reference/src/main.rs:740-766, reimplemented over bytes).
+  * pHash — 32×32 grayscale → 2-D DCT-II → top-left 8×8, median
+    threshold (sans DC), packed to a signed int64.
+
+All functions are pure and vectorized; they run inside map_batches
+decode stages (actor pools) over Arrow binary columns.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """img: (h, w, 3) uint8 → PNG bytes (filter 0, RGB8)."""
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, bpp)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("only RGB8 supported")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    return _png_unfilter(raw, h, w, 3)
+
+
+# ------------------------------------------------------------------- BMP
+
+def bmp_encode(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    size = 54 + (row + pad) * h
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, (row + pad) * h, 2835, 2835, 0, 0)
+    body = np.zeros((h, row + pad), dtype=np.uint8)
+    body[:, :row] = img[::-1, :, ::-1].reshape(h, row)  # bottom-up BGR
+    return hdr + dib + body.tobytes()
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    if bpp != 24:
+        raise ValueError("only 24-bit BMP supported")
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    buf = np.frombuffer(data, dtype=np.uint8, count=(row + pad) * abs(h), offset=off)
+    buf = buf.reshape(abs(h), row + pad)[:, :row].reshape(abs(h), w, 3)
+    img = buf[::-1] if h > 0 else buf
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+# ------------------------------------------------- LSY (lossy DCT codec)
+
+def _dct_mat(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_D8 = _dct_mat(8)
+_Q = 4.0  # flat quantizer step → PSNR ≳ 44 dB
+
+
+def lsy_encode(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.zeros((ph, pw, 3), dtype=np.float64)
+    pad[:h, :w] = img
+    pad[h:, :w] = img[h - 1 : h, :]
+    pad[:, w:] = pad[:, w - 1 : w]
+    blocks = pad.reshape(ph // 8, 8, pw // 8, 8, 3).transpose(0, 2, 4, 1, 3)
+    coeff = np.einsum("ij,bckjl,ml->bckim", _D8, blocks - 128.0, _D8)
+    q = np.round(coeff / _Q).astype(np.int16)
+    payload = zlib.compress(q.tobytes(), 6)
+    return b"LSY1" + struct.pack("<HH", w, h) + payload
+
+
+def lsy_decode(data: bytes) -> np.ndarray:
+    if data[:4] != b"LSY1":
+        raise ValueError("not LSY")
+    w, h = struct.unpack("<HH", data[4:8])
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    q = np.frombuffer(zlib.decompress(data[8:]), dtype=np.int16).reshape(
+        ph // 8, pw // 8, 3, 8, 8
+    )
+    coeff = q.astype(np.float64) * _Q
+    blocks = np.einsum("ji,bckjl,lm->bckim", _D8, coeff, _D8) + 128.0
+    img = blocks.transpose(0, 3, 1, 4, 2).reshape(ph, pw, 3)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# -------------------------------------------------------------- sniffing
+
+def sniff_format(data: bytes) -> str:
+    """Magic-number format detection (reference src/main.rs:740-766
+    semantics: first-bytes signatures with an <svg sniff fallback)."""
+    if data.startswith(_PNG_SIG):
+        return "png"
+    if data.startswith(b"\xff\xd8\xff"):
+        return "jpg"
+    if data.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if data.startswith(b"BM"):
+        return "bmp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    if data[4:12] in (b"ftypavif", b"ftypavis"):
+        return "avif"
+    if data.startswith(b"LSY1"):
+        return "lsy"
+    if b"<svg" in data[:1024]:
+        return "svg"
+    return ""
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    fmt = sniff_format(data)
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "bmp":
+        return bmp_decode(data)
+    if fmt == "lsy":
+        return lsy_decode(data)
+    raise ValueError(f"cannot decode format {fmt or 'unknown'}")
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(img)
+    if fmt == "bmp":
+        return bmp_encode(img)
+    if fmt == "lsy":
+        return lsy_encode(img)
+    raise ValueError(f"cannot encode format {fmt}")
+
+
+# ----------------------------------------------------------------- pHash
+
+_D32 = _dct_mat(32)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash as a signed int64 (BASELINE.json input_hint).
+
+    32×32 grayscale → 2-D DCT-II → top-left 8×8 coefficients; bits =
+    coeff > median(coeffs sans DC).
+    """
+    gray = img @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    small = gray[np.ix_(ys, xs)]
+    coeff = _D32 @ small @ _D32.T
+    block = coeff[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = block > med
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
+    return int(val.view(np.int64))
+
+
+def phash_batch(imgs: list[np.ndarray]) -> np.ndarray:
+    return np.array([phash64(im) for im in imgs], dtype=np.int64)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

@@ -1,0 +1,136 @@
+"""Lance-shaped versioned columnar dataset on Parquet (SURVEY.md §7 step 2).
+
+The north rule targets Lance tables, but ``lance``/``pylance`` is not
+installed in this sandbox, so this module implements the Lance *storage
+contract* — immutable data fragments + a linear chain of versioned
+manifests with atomic commits — on pyarrow Parquet:
+
+    <root>/
+      data/frag-*.parquet          immutable fragments
+      _versions/<N>.manifest.json  manifest: fragment list + metadata
+      _latest                      pointer file (atomic rename commit)
+
+Properties needed by the engine (and by real Lance, so a pylance-backed
+writer can drop in behind the same interface):
+  * append = write new fragments + commit a new manifest referencing
+    old + new → readers never see partial writes (resumable output);
+  * version travel (read any committed version);
+  * idempotent re-execution: a re-run task re-writes its fragment file
+    keyed by (round, partition); uncommitted orphans are ignored;
+  * arbitrary JSON metadata per version (the crawler stores its frontier
+    / seen-set checkpoint pointers here → single atomic commit point per
+    crawl round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class LanceLite:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.ver_dir = os.path.join(root, "_versions")
+
+    # ------------------------------------------------------------ setup
+    @classmethod
+    def create(cls, root: str, schema: pa.Schema) -> "LanceLite":
+        ds = cls(root)
+        os.makedirs(ds.data_dir, exist_ok=True)
+        os.makedirs(ds.ver_dir, exist_ok=True)
+        if ds.latest_version() is None:
+            ds._write_manifest(0, [], {"created": True},
+                               schema_json=schema.serialize().to_pybytes().hex())
+        return ds
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    # -------------------------------------------------------- manifests
+    def latest_version(self) -> int | None:
+        p = os.path.join(self.root, "_latest")
+        try:
+            with open(p) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version in {self.root}")
+        with open(os.path.join(self.ver_dir, f"{version}.manifest.json")) as f:
+            return json.load(f)
+
+    def _write_manifest(self, version: int, fragments: list[str], meta: dict,
+                        schema_json: str | None = None) -> None:
+        if schema_json is None:
+            schema_json = self.manifest().get("schema")
+        m = {"version": version, "fragments": fragments, "meta": meta,
+             "schema": schema_json}
+        tmp = os.path.join(self.ver_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, os.path.join(self.ver_dir, f"{version}.manifest.json"))
+        tmp2 = os.path.join(self.root, f".latest-{uuid.uuid4().hex}")
+        with open(tmp2, "w") as f:
+            f.write(str(version))
+        os.replace(tmp2, os.path.join(self.root, "_latest"))  # atomic commit
+
+    def schema(self) -> pa.Schema:
+        return pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(self.manifest()["schema"])))
+
+    # ------------------------------------------------------------ write
+    def stage_fragment(self, table: pa.Table, name_hint: str = "f") -> str:
+        """Write an (as yet uncommitted) immutable fragment; returns its
+        relative path.  Deterministic name_hint (e.g. 'r3-p07') makes task
+        re-execution overwrite its own fragment → idempotent."""
+        rel = os.path.join("data", f"frag-{name_hint}.parquet")
+        tmp = os.path.join(self.data_dir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(self.root, rel))
+        return rel
+
+    def commit(self, new_fragments: list[str], meta: dict | None = None) -> int:
+        cur = self.latest_version()
+        if cur is None:
+            raise FileNotFoundError("create() the dataset first")
+        man = self.manifest(cur)
+        frags = man["fragments"] + list(new_fragments)
+        v = cur + 1
+        self._write_manifest(v, frags, meta or {})
+        return v
+
+    def append(self, table: pa.Table, name_hint: str = "a",
+               meta: dict | None = None) -> int:
+        return self.commit([self.stage_fragment(table, name_hint)], meta)
+
+    # ------------------------------------------------------------- read
+    def fragment_paths(self, version: int | None = None) -> list[str]:
+        return [os.path.join(self.root, rel)
+                for rel in self.manifest(version)["fragments"]]
+
+    def to_table(self, version: int | None = None) -> pa.Table:
+        paths = self.fragment_paths(version)
+        if not paths:
+            return self.schema().empty_table()
+        return pa.concat_tables([pq.read_table(p) for p in paths])
+
+    def to_ray(self, version: int | None = None):
+        """ray.data.Dataset over the committed fragments (streaming read)."""
+        import ray.data
+
+        paths = self.fragment_paths(version)
+        if not paths:
+            return ray.data.from_arrow(self.schema().empty_table())
+        return ray.data.read_parquet(paths)
+
+    def count_rows(self, version: int | None = None) -> int:
+        return sum(pq.read_metadata(p).num_rows for p in self.fragment_paths(version))
