@@ -1,0 +1,519 @@
+"""The Ray-Data-native crawl engine (SURVEY.md §3.3 rebuild shape, §7 step 4).
+
+The reference's sequential ``while next_page`` loop (src/main.rs:38-47)
+becomes BSP crawl rounds over a checkpointed frontier:
+
+    ckpt/round-r/frontier/ ──read_parquet──▶ groupby(host) release
+        (politeness token bucket + robots, SchedulerShard actors)
+      released ─▶ map_batches(PageParser pool)   fetch + extract in ONE
+        stage: HTML never crosses a stage boundary (project early —
+        SURVEY.md §4 memory row)
+      ─▶ map_batches(seen gate: ShardedSeen cuckoo actors, batched)
+      ─▶ img rows ─ map_batches(ImageWorker pool) fetch/decode/pHash
+      ─▶ groupby(image_id) min-seq dedup ─ written-id gate
+      ─▶ map_batches(fragment writer) → Lance-shaped sink
+      deferred ∪ novel links ──write_parquet──▶ ckpt/round-(r+1)/frontier/
+      single atomic commit per round: sink manifest records the
+      checkpoint → resume = read latest manifest (north rule).
+
+Ordering contract (SURVEY.md §3.2): every page carries a dotted DFS
+rank ``seq``; sort of the visit log by ``seq`` reproduces the
+reference's depth-first visit order exactly, politeness deferrals and
+fetch parallelism notwithstanding.  Image first-wins is min-``seq``
+within a round and first-round-wins across rounds (equals the
+reference's --no-clobber order whenever an album directory is produced
+by a single chain, as in the reference's single-seed world).
+
+Scale notes (10^10-URL frontier): the frontier lives in partitioned
+parquet checkpoints and flows through Dataset ops — the driver only
+materializes the per-round *released* batch, which is bounded by
+politeness budget × active hosts.  Seen-set shards hold the cuckoo
+filter in RAM with exact backing persisted per round.  Hot hosts can be
+salted into sub-partitions for fetch parallelism while their token
+budget stays on one SchedulerShard (north-rule skew mitigation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from . import schemas as S
+from . import urlops as U
+from .extract import parse_page, two_level_urls
+from .lancelite import LanceLite
+from .refsim import data_uri_image_id, derive_image_id, image_record
+from .state.cuckoo import ShardedSeen
+from .state.politeness import SchedulerShard
+from .synthweb import SynthWeb, WebSpec
+
+# superset schema for the fetch+extract stage output
+EXTRACT = pa.schema(
+    [
+        ("row_kind", pa.string()),  # page | link | img | seen
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("status", pa.int32()),
+        ("seq", pa.string()),
+        ("depth", pa.int32()),
+        ("kind", pa.string()),  # frontier kind (link/page) or img kind (img)
+        ("album", pa.string()),
+        ("caption", pa.string()),
+    ]
+)
+
+IMG_OUT = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("seq", pa.string()),
+    ]
+)
+
+VERDICT = "verdict"
+
+
+def seq_next(seq: str) -> str:
+    parts = seq.split(".")
+    parts[-1] = f"{int(parts[-1]) + 1:04d}"
+    return ".".join(parts)
+
+
+def seq_child(seq: str, j: int) -> str:
+    return f"{seq}.{j:04d}.0000"
+
+
+def make_synth_fetcher(spec: WebSpec):
+    web = SynthWeb(spec)
+    return web.get
+
+
+# ----------------------------------------------------------------- stages
+
+
+class PageParser:
+    """Fetch + extract actor (stateful: fetch client + site config are
+    built once per actor — SURVEY.md §2.3)."""
+
+    def __init__(self, fetcher_factory, site_cfg: list[dict]):
+        self.fetch = fetcher_factory()
+        self.cfg = site_cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        for row in batch.select(["url", "host", "seq", "depth", "kind"]).to_pylist():
+            url, host, seq = row["url"], row["host"], row["seq"]
+            depth, kind = row["depth"], row["kind"]
+            resp = self.fetch(url)
+            ok = resp.status == 200 and bool(resp.body)
+            out.append({"row_kind": "page", "url": url, "host": host,
+                        "status": resp.status if ok else (resp.status or 0),
+                        "seq": seq, "depth": depth, "kind": kind})
+            if not ok:
+                continue
+            entry = U.host_suffix_lookup(host, self.cfg)
+            p = parse_page(resp.text, url, entry)
+            if not p.ok:
+                continue
+            if p.two_level_sel is not None:
+                pairs: dict[tuple[str, str], None] = {}
+                for detail_url, _k in p.urls:
+                    out.append({"row_kind": "seen", "url": detail_url,
+                                "host": host, "seq": seq})
+                    dresp = self.fetch(detail_url)
+                    if dresp.status != 200:
+                        continue
+                    for u2, cap in two_level_urls(dresp.text, p.two_level_sel, url):
+                        pairs.setdefault((u2, cap))
+                for i, (u2, cap) in enumerate(pairs):
+                    out.append({"row_kind": "img", "url": u2, "host": host,
+                                "seq": f"{seq}.i{i:06d}", "kind": "html",
+                                "album": p.album_title, "caption": cap})
+            else:
+                for i, (u2, k2) in enumerate(p.urls):
+                    out.append({"row_kind": "img", "url": u2, "host": host,
+                                "seq": f"{seq}.i{i:06d}", "kind": k2,
+                                "album": p.album_title, "caption": ""})
+            for j, href in enumerate(p.album_hrefs):
+                ahost = U.check_host(href)
+                if ahost is None:
+                    continue
+                out.append({"row_kind": "link", "url": href, "host": ahost,
+                            "seq": seq_child(seq, j), "depth": depth + 1,
+                            "kind": "album"})
+            if p.next_url:
+                nhost = U.check_host(p.next_url)
+                if nhost is not None:
+                    out.append({"row_kind": "link", "url": p.next_url,
+                                "host": nhost, "seq": seq_next(seq),
+                                "depth": depth, "kind": kind})
+        return S.table_from_rows(EXTRACT, out)
+
+
+def gate_batch(batch: pa.Table, seen: ShardedSeen) -> pa.Table:
+    """Seen-set gate: one batched actor round-trip per shard per batch.
+
+    link rows: kept iff 'u:'+url novel; img rows: 'u:'+url inserted,
+    kept iff 'i:'+album|url|caption novel; seen rows: inserted, dropped;
+    page rows: pass through."""
+    if batch.num_rows == 0:
+        return batch
+    rows = batch.to_pylist()
+    keys: list[str] = []
+    owners: list[tuple[int, str]] = []  # (row idx, gate kind)
+    for i, r in enumerate(rows):
+        rk = r["row_kind"]
+        if rk == "link":
+            keys.append("u:" + r["url"])
+            owners.append((i, "link"))
+        elif rk == "img":
+            keys.append("u:" + r["url"])
+            owners.append((i, "ins"))
+            keys.append(f"i:{r['album']}\x00{r['url']}\x00{r['caption'] or ''}")
+            owners.append((i, "img"))
+        elif rk == "seen":
+            keys.append("u:" + r["url"])
+            owners.append((i, "ins"))
+    novel = seen.check_and_insert(keys)
+    keep = [r["row_kind"] == "page" for r in rows]
+    for (i, gk), nv in zip(owners, novel):
+        if gk == "link":
+            keep[i] = nv
+        elif gk == "img":
+            keep[i] = nv
+    kept = [r for i, r in enumerate(rows) if keep[i]]
+    return S.table_from_rows(EXTRACT, kept)
+
+
+class ImageWorker:
+    """Image fetch + decode + pHash actor (batch in, Arrow out)."""
+
+    def __init__(self, fetcher_factory, store_data_uris: bool = True):
+        self.fetch = fetcher_factory()
+        self.store_data_uris = store_data_uris
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        for r in batch.to_pylist():
+            url, album, caption, seq = r["url"], r["album"], r["caption"], r["seq"]
+            d = U.sanitize_dir(album)
+            if url.startswith("data:image/"):
+                if not self.store_data_uris:
+                    continue
+                parsed = U.parse_data_uri(url)
+                if parsed is None:
+                    continue
+                ext, raw = parsed
+                rec = image_record(data_uri_image_id(d, ext, raw), raw, "")
+            else:
+                resp = self.fetch(U.percent_encode(url))
+                if resp.status != 200 or not resp.body:
+                    continue  # fire-and-forget parity (ref src/main.rs:643)
+                iid = derive_image_id(d, url, caption or "", resp.content_type)
+                if iid is None:
+                    continue
+                rec = image_record(iid, resp.body, caption or "")
+            rec["seq"] = seq
+            out.append(rec)
+        return S.table_from_rows(IMG_OUT, out)
+
+
+def release_group(group: pa.Table, scheds: list, now_round: int) -> pa.Table:
+    """Per-host frontier release: seq-sort, robots filter + token grant
+    via the host's owning SchedulerShard (one actor call per host)."""
+    if group.num_rows == 0:
+        return group.append_column(VERDICT, pa.array([], type=pa.string()))
+    group = group.sort_by("seq")
+    host = group.column("host")[0].as_py()
+    urls = group.column("url").to_pylist()
+    shard = int.from_bytes(
+        hashlib.blake2b(host.encode(), digest_size=4).digest(), "big"
+    ) % len(scheds)
+    verdicts = ray.get(
+        scheds[shard].filter_and_grant.remote(host, urls, now_round))
+    return group.append_column(VERDICT, pa.array(verdicts, type=pa.string()))
+
+
+def dedup_min_seq(group: pa.Table) -> pa.Table:
+    """groupby(image_id) → keep the row with the smallest seq (the
+    reference's --no-clobber first-wins, ref src/main.rs:16)."""
+    if group.num_rows <= 1:
+        return group
+    return group.sort_by("seq").slice(0, 1)
+
+
+def written_gate(batch: pa.Table, seen: ShardedSeen) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    ids = batch.column("image_id").to_pylist()
+    novel = seen.check_and_insert(["w:" + i for i in ids])
+    return batch.filter(pa.array(novel))
+
+
+def write_fragment(batch: pa.Table, data_dir: str, rnd: int) -> pa.Table:
+    """Distributed sink write: each block becomes one immutable fragment
+    file; paths flow back for the driver's atomic manifest commit."""
+    if batch.num_rows == 0:
+        return pa.table({"path": pa.array([], type=pa.string()),
+                         "rows": pa.array([], type=pa.int64()),
+                         "nbytes": pa.array([], type=pa.int64())})
+    tbl = batch.select([f.name for f in S.IMAGES])
+    name = hashlib.blake2b(
+        (batch.column("image_id")[0].as_py() + str(batch.num_rows)).encode(),
+        digest_size=8).hexdigest()
+    rel = os.path.join("data", f"frag-r{rnd}-{name}.parquet")
+    root = os.path.dirname(data_dir)
+    tmp = os.path.join(data_dir, f".tmp-{name}")
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(root, rel))
+    nbytes = sum(len(b) for b in batch.column("bytes").to_pylist() if b)
+    return pa.table({"path": [rel], "rows": [batch.num_rows],
+                     "nbytes": [nbytes]})
+
+
+# ------------------------------------------------------------------ engine
+
+
+@dataclass
+class CrawlerConfig:
+    root: str  # sink + checkpoints live under this dir
+    fetcher_factory: object = None  # () -> (url -> Response)
+    site_cfg: list = field(default_factory=list)
+    rate_per_round: float = 8.0  # politeness tokens/host/round
+    burst: float = 16.0
+    respect_robots: bool = True
+    store_data_uris: bool = True
+    seen_shards: int = 4
+    sched_shards: int = 2
+    fetch_concurrency: int = 4
+    fetch_batch: int = 16
+    img_concurrency: int = 4
+    img_batch: int = 64
+    max_rounds: int = 200
+
+
+class Crawler:
+    def __init__(self, cfg: CrawlerConfig):
+        self.cfg = cfg
+        self.sink = LanceLite.create(os.path.join(cfg.root, "images.lance"),
+                                     S.IMAGES)
+        self.ckpt = os.path.join(cfg.root, "ckpt")
+        os.makedirs(self.ckpt, exist_ok=True)
+        self.seen = ShardedSeen(cfg.seen_shards)
+        self.scheds = [
+            SchedulerShard.remote(cfg.fetcher_factory, cfg.rate_per_round,
+                                  cfg.burst, cfg.respect_robots)
+            for _ in range(cfg.sched_shards)
+        ]
+        self.round = 0
+
+    # ------------------------------------------------------------ setup
+    def _rdir(self, rnd: int, name: str) -> str:
+        d = os.path.join(self.ckpt, f"round-{rnd:04d}", name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def seed(self, urls: list[str]) -> None:
+        rows = []
+        for i, u in enumerate(urls):
+            host = U.check_host(u)
+            if host is None:
+                continue
+            rows.append({"url": u, "host": host, "depth": 0,
+                         "kind": "listing", "priority": 0,
+                         "seq": f"{i:04d}.0000", "round": 0})
+        novel = self.seen.check_and_insert(["u:" + r["url"] for r in rows])
+        rows = [r for r, nv in zip(rows, novel) if nv]
+        tbl = S.table_from_rows(S.FRONTIER, rows)
+        pq.write_table(tbl, os.path.join(self._rdir(0, "frontier"), "part-0.parquet"))
+        self._write_seen_delta(0)
+
+    def resume(self) -> bool:
+        """Restore from the latest committed manifest (north rule:
+        checkpointed resume).  Returns True if there is work to do."""
+        man = self.sink.manifest()
+        meta = man.get("meta", {})
+        self.round = int(meta.get("round", 0))
+        # replay seen deltas from every committed round
+        for r in range(self.round + 1):
+            p = os.path.join(self.ckpt, f"round-{r:04d}", "seen.parquet")
+            if os.path.exists(p):
+                self.seen.restore(pq.read_table(p).column("key").to_pylist())
+        return self._frontier_count(self.round) > 0
+
+    # ------------------------------------------------------------ rounds
+    def _frontier_paths(self, rnd: int) -> list[str]:
+        d = os.path.join(self.ckpt, f"round-{rnd:04d}", "frontier")
+        if not os.path.isdir(d):
+            return []
+        return [os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")]
+
+    def _frontier_count(self, rnd: int) -> int:
+        return sum(pq.read_metadata(p).num_rows
+                   for p in self._frontier_paths(rnd))
+
+    def _write_seen_delta(self, rnd: int) -> None:
+        delta = self.seen.drain_deltas()
+        pq.write_table(pa.table({"key": pa.array(delta, type=pa.string())}),
+                       os.path.join(self._rdir(rnd, ""), "seen.parquet"))
+
+    def run(self) -> dict:
+        """Crawl until the frontier drains; one atomic commit per round."""
+        stats = {"rounds": 0, "pages": 0, "images": 0, "bytes": 0}
+        while self.round < self.cfg.max_rounds:
+            if self._frontier_count(self.round) == 0:
+                break
+            rs = self.run_round()
+            stats["rounds"] += 1
+            stats["pages"] += rs["pages"]
+            stats["images"] += rs["images"]
+            stats["bytes"] += rs["bytes"]
+        return stats
+
+    def run_round(self) -> dict:
+        cfg = self.cfg
+        rnd = self.round
+        t0 = time.time()
+
+        frontier = ray.data.read_parquet(self._frontier_paths(rnd))
+        released_out = (
+            frontier.groupby("host")
+            .map_groups(partial(release_group, scheds=self.scheds,
+                                now_round=rnd + 1),
+                        batch_format="pyarrow")
+            .materialize()
+        )
+        rel_tbl = pa.concat_tables(
+            [ray.get(ref) for ref in released_out.to_arrow_refs()],
+            promote_options="default",
+        )
+        if rel_tbl.num_rows:
+            released = rel_tbl.filter(pc.equal(rel_tbl.column(VERDICT), "release"))
+            deferred = rel_tbl.filter(pc.equal(rel_tbl.column(VERDICT), "defer"))
+        else:
+            released = deferred = rel_tbl
+
+        # fetch + extract + gate (HTML never leaves the PageParser actors)
+        extract = (
+            ray.data.from_arrow(released.drop_columns([VERDICT]))
+            .map_batches(PageParser, batch_format="pyarrow",
+                         batch_size=cfg.fetch_batch,
+                         concurrency=(1, cfg.fetch_concurrency),
+                         fn_constructor_args=(cfg.fetcher_factory, cfg.site_cfg))
+            .map_batches(partial(gate_batch, seen=self.seen),
+                         batch_format="pyarrow")
+            .materialize()
+        )
+        ex_tbl = pa.concat_tables(
+            [ray.get(r) for r in extract.to_arrow_refs()],
+            promote_options="default",
+        )
+        if ex_tbl.num_rows == 0:
+            ex_tbl = EXTRACT.empty_table()
+        pages = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "page"))
+        links = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "link"))
+        imgs = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "img"))
+
+        # image fetch → decode → per-round min-seq dedup → written gate →
+        # distributed fragment write
+        frag_rows: list[dict] = []
+        if imgs.num_rows:
+            data_dir = self.sink.data_dir
+            frags = (
+                ray.data.from_arrow(imgs)
+                .map_batches(ImageWorker, batch_format="pyarrow",
+                             batch_size=cfg.img_batch,
+                             concurrency=(1, cfg.img_concurrency),
+                             fn_constructor_args=(cfg.fetcher_factory,
+                                                  cfg.store_data_uris))
+                .groupby("image_id")
+                .map_groups(dedup_min_seq, batch_format="pyarrow")
+                .map_batches(partial(written_gate, seen=self.seen),
+                             batch_format="pyarrow")
+                .map_batches(partial(write_fragment, data_dir=data_dir,
+                                     rnd=rnd),
+                             batch_format="pyarrow")
+            )
+            frag_rows = frags.take_all()
+
+        # next frontier = deferred ∪ novel links
+        nxt_rows = []
+        for r in links.to_pylist():
+            nxt_rows.append({"url": r["url"], "host": r["host"],
+                             "depth": r["depth"], "kind": r["kind"],
+                             "priority": 0, "seq": r["seq"], "round": rnd + 1})
+        for r in deferred.to_pylist():
+            nxt_rows.append({"url": r["url"], "host": r["host"],
+                             "depth": r["depth"], "kind": r["kind"],
+                             "priority": 0, "seq": r["seq"], "round": rnd + 1})
+        nxt = S.table_from_rows(S.FRONTIER, nxt_rows)
+        fdir = self._rdir(rnd + 1, "frontier")
+        pq.write_table(nxt, os.path.join(fdir, "part-0.parquet"))
+
+        # visit log + lineage + seen delta, then ONE atomic commit
+        pq.write_table(
+            pages.select(["url", "host", "status", "seq", "depth", "kind"]),
+            os.path.join(self._rdir(rnd + 1, ""), "visits.parquet"))
+        self._write_seen_delta(rnd + 1)
+        n_images = sum(r["rows"] for r in frag_rows)
+        n_bytes = sum(r["nbytes"] for r in frag_rows)
+        lineage = S.table_from_rows(S.LINEAGE, [{
+            "partition_id": 0, "round": rnd + 1,
+            "urls_in": rel_tbl.num_rows, "fetched": pages.num_rows,
+            "images": n_images, "bytes": n_bytes,
+            "t_start": int(t0 * 1e6), "t_end": int(time.time() * 1e6),
+        }])
+        pq.write_table(lineage,
+                       os.path.join(self._rdir(rnd + 1, ""), "lineage.parquet"))
+        self.sink.commit([r["path"] for r in frag_rows],
+                         meta={"round": rnd + 1, "ckpt": self.ckpt})
+        self.round = rnd + 1
+        return {"pages": pages.num_rows, "images": n_images, "bytes": n_bytes}
+
+    # ------------------------------------------------------------ results
+    def visit_order(self) -> list[str]:
+        tbls = []
+        for r in range(self.round + 1):
+            p = os.path.join(self.ckpt, f"round-{r:04d}", "visits.parquet")
+            if os.path.exists(p):
+                tbls.append(pq.read_table(p))
+        if not tbls:
+            return []
+        t = pa.concat_tables(tbls).sort_by("seq")
+        return t.column("url").to_pylist()
+
+    def seen_urls(self) -> set[str]:
+        out: set[str] = set()
+        for r in range(self.round + 1):
+            p = os.path.join(self.ckpt, f"round-{r:04d}", "seen.parquet")
+            if os.path.exists(p):
+                for k in pq.read_table(p).column("key").to_pylist():
+                    if k.startswith("u:"):
+                        out.add(k[2:])
+        return out
+
+    def images_table(self) -> pa.Table:
+        return self.sink.to_table()
+
+    def lineage_table(self) -> pa.Table:
+        tbls = []
+        for r in range(self.round + 1):
+            p = os.path.join(self.ckpt, f"round-{r:04d}", "lineage.parquet")
+            if os.path.exists(p):
+                tbls.append(pq.read_table(p))
+        return pa.concat_tables(tbls) if tbls else S.LINEAGE.empty_table()

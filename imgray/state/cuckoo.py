@@ -1,0 +1,196 @@
+"""Cuckoo filter + sharded URL-seen set actors (north rule BASELINE.json).
+
+The reference has **no** global URL-seen structure (SURVEY.md §2.3 —
+its only cross-page state is curl --no-clobber on the filesystem); the
+north rule adds a sharded cuckoo-filter seen set.  Design
+(partial-key cuckoo hashing per Fan et al., "Cuckoo Filter: Practically
+Better Than Bloom", CoNEXT 2014 — public algorithm):
+
+  * ``CuckooFilter``: numpy bucket array, 4 fingerprint slots/bucket,
+    16-bit fingerprints, i2 = i1 XOR hash(fp).  No false negatives
+    (evictions that overflow land in a small exact spill set).
+  * ``SeenShard`` (Ray actor): one shard of the seen set — the cuckoo
+    filter is the fast approximate gate; an exact per-shard key set
+    backs it so false positives never drop a URL (the exact set is the
+    ground truth persisted to the per-round checkpoint; at 10^10-URL
+    scale it pages to the shard's sorted on-disk runs while the cuckoo
+    filter stays in RAM — here it is an in-memory set).
+  * ``ShardedSeen``: client-side router — batches keys per shard
+    (hash-partitioned) and fans out ONE actor call per shard per batch
+    (never per URL).
+
+Keys are namespaced by the caller ("u:" crawl URLs, "i:" image-fetch
+dedup, "w:" written image ids) so one actor pool serves all three
+domains.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import ray
+
+
+def _hash64(key: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(key.encode(), digest_size=8).digest(), "big"
+    )
+
+
+class CuckooFilter:
+    """Partial-key cuckoo hash filter; no false negatives."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int = 1 << 16, seed: int = 0):
+        n = 1
+        while n * self.SLOTS < capacity:
+            n <<= 1
+        self.nbuckets = n
+        self.buckets = np.zeros((n, self.SLOTS), dtype=np.uint16)
+        # overflow: canonical (min bucket, fp) of evicted-and-homeless
+        # fingerprints — keeps the no-false-negative guarantee when full
+        self.spill: set[tuple[int, int]] = set()
+        self.seed = seed
+        self.count = 0
+
+    def _canon(self, i: int, fp: int) -> tuple[int, int]:
+        j = (i ^ self._fp_hash(fp)) & (self.nbuckets - 1)
+        return (min(i, j), fp)
+
+    def _fp_idx(self, h: int) -> tuple[int, int, int]:
+        fp = (h & 0xFFFF) or 1  # fingerprint never 0 (0 = empty slot)
+        i1 = (h >> 16) & (self.nbuckets - 1)
+        i2 = (i1 ^ self._fp_hash(fp)) & (self.nbuckets - 1)
+        return fp, i1, i2
+
+    def _fp_hash(self, fp: int) -> int:
+        # cheap avalanche for fingerprint → partner-bucket offset
+        x = (fp * 0x5BD1E995) & 0xFFFFFFFF
+        return x ^ (x >> 13)
+
+    def contains_hash(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_idx(h)
+        return (
+            bool((self.buckets[i1] == fp).any())
+            or bool((self.buckets[i2] == fp).any())
+            or self._canon(i1, fp) in self.spill
+        )
+
+    def insert_hash(self, h: int) -> None:
+        fp, i1, i2 = self._fp_idx(h)
+        for i in (i1, i2):
+            row = self.buckets[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return
+        # evict loop
+        rng = h
+        i = i1
+        cur = fp
+        for _ in range(self.MAX_KICKS):
+            rng = (rng * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+            slot = rng & 3
+            cur, self.buckets[i][slot] = int(self.buckets[i][slot]), cur
+            i = (i ^ self._fp_hash(cur)) & (self.nbuckets - 1)
+            row = self.buckets[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = cur
+                self.count += 1
+                return
+        # table full: the last displaced fingerprint is homeless — spill
+        # it (the new item's fp found a slot during the kick loop)
+        self.spill.add(self._canon(i, cur))
+        self.count += 1
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """One shard of the global seen set (cuckoo gate + exact backing)."""
+
+    def __init__(self, capacity: int = 1 << 18):
+        self.cf = CuckooFilter(capacity)
+        self.exact: set[str] = set()
+        self.delta: list[str] = []  # novel keys since last drain (checkpoint)
+
+    def check_and_insert(self, keys: list[str]) -> list[bool]:
+        """For each key: True iff novel (now inserted).  The cuckoo
+        filter short-circuits the common novel case; positives verify
+        against the exact set (false-positive rate ~3% never drops a
+        URL)."""
+        out = []
+        for k in keys:
+            h = _hash64(k)
+            if self.cf.contains_hash(h) and k in self.exact:
+                out.append(False)
+            else:
+                self.cf.insert_hash(h)
+                self.exact.add(k)
+                self.delta.append(k)
+                out.append(True)
+        return out
+
+    def restore(self, keys: list[str]) -> int:
+        """Resume path: repopulate from a checkpoint without recording
+        deltas."""
+        for k in keys:
+            if k not in self.exact:
+                self.cf.insert_hash(_hash64(k))
+                self.exact.add(k)
+        return len(self.exact)
+
+    def drain_delta(self) -> list[str]:
+        d, self.delta = self.delta, []
+        return d
+
+    def stats(self) -> dict:
+        return {"exact": len(self.exact), "cuckoo": self.cf.count,
+                "spill": len(self.cf.spill)}
+
+
+class ShardedSeen:
+    """Client router: hash-partition keys, one batched call per shard."""
+
+    def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 18):
+        self.shards = [SeenShard.remote(capacity_per_shard)
+                       for _ in range(num_shards)]
+        self.n = num_shards
+
+    def _route(self, keys: list[str]) -> dict[int, list[int]]:
+        by: dict[int, list[int]] = {}
+        for idx, k in enumerate(keys):
+            s = _hash64("shard|" + k) % self.n
+            by.setdefault(s, []).append(idx)
+        return by
+
+    def check_and_insert(self, keys: list[str]) -> list[bool]:
+        if not keys:
+            return []
+        by = self._route(keys)
+        futs = {s: self.shards[s].check_and_insert.remote([keys[i] for i in idxs])
+                for s, idxs in by.items()}
+        out = [False] * len(keys)
+        for s, idxs in by.items():
+            for i, novel in zip(idxs, ray.get(futs[s])):
+                out[i] = novel
+        return out
+
+    def restore(self, keys: list[str]) -> None:
+        if not keys:
+            return
+        by = self._route(keys)
+        ray.get([self.shards[s].restore.remote([keys[i] for i in idxs])
+                 for s, idxs in by.items()])
+
+    def drain_deltas(self) -> list[str]:
+        return [k for d in ray.get([s.drain_delta.remote() for s in self.shards])
+                for k in d]
+
+    def stats(self) -> dict:
+        sts = ray.get([s.stats.remote() for s in self.shards])
+        return {k: sum(s[k] for s in sts) for k in sts[0]}

@@ -1,0 +1,120 @@
+"""Per-host politeness token buckets + robots.txt cache (north rule).
+
+Absent from the reference (SURVEY.md §2.3 — it crawls one host
+sequentially with no rate control and never reads robots.txt); the
+north rule adds per-host politeness token buckets and robots caches in
+stateful actors.
+
+``SchedulerShard`` owns a *shard* of the host space (hosts are
+hash-partitioned across shards, so any host's state lives on exactly
+one actor).  Per host it holds:
+  * a token bucket (rate tokens/round, burst cap) — BSP crawl rounds
+    are the clock (SURVEY.md §1 "batch vs streaming");
+  * cached robots.txt Disallow rules (fetched once per host).
+
+The frontier release stage calls ``filter_and_grant(host, urls)`` once
+per host-group per round: robots-disallowed URLs are rejected
+permanently, the first ``tokens`` remaining URLs (already seq-sorted by
+the caller) are released, the rest deferred to the next round.
+
+Hot-host splitting (north rule skew mitigation): a host's frontier rows
+can be salted across sub-partitions for *fetch* parallelism, but all
+grants still route to the single owning shard → one budget per host.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+def parse_robots(text: str) -> list[str]:
+    """Minimal robots.txt: Disallow prefixes from 'User-agent: *' groups."""
+    rules: list[str] = []
+    active = False
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            active = val == "*"
+        elif key == "disallow" and active and val:
+            rules.append(val)
+    return rules
+
+
+def robots_allowed(path: str, rules: list[str]) -> bool:
+    return not any(path.startswith(r) for r in rules)
+
+
+class TokenBucket:
+    def __init__(self, rate: float, burst: float):
+        self.rate = rate
+        self.burst = burst
+        self.tokens = burst
+        self.round = 0
+
+    def refill(self, now_round: int) -> None:
+        if now_round > self.round:
+            self.tokens = min(self.burst,
+                              self.tokens + self.rate * (now_round - self.round))
+            self.round = now_round
+
+    def take(self, want: int) -> int:
+        got = int(min(self.tokens, want))
+        self.tokens -= got
+        return got
+
+
+@ray.remote(num_cpus=0)
+class SchedulerShard:
+    def __init__(self, fetcher_factory, rate_per_round: float = 4.0,
+                 burst: float = 8.0, respect_robots: bool = True):
+        self.fetch = fetcher_factory()  # url → Response (robots.txt only)
+        self.rate = rate_per_round
+        self.burst = burst
+        self.respect_robots = respect_robots
+        self.buckets: dict[str, TokenBucket] = {}
+        self.robots: dict[str, list[str]] = {}
+        self.rejected: int = 0
+
+    def _rules(self, host: str) -> list[str]:
+        if host not in self.robots:
+            if not self.respect_robots:
+                self.robots[host] = []
+            else:
+                resp = self.fetch(f"https://{host}/robots.txt")
+                self.robots[host] = (
+                    parse_robots(resp.text) if resp.status == 200 else []
+                )
+        return self.robots[host]
+
+    def filter_and_grant(self, host: str, urls: list[str],
+                         now_round: int) -> list[str]:
+        """urls arrive seq-sorted.  Returns per-URL verdicts:
+        'release' | 'defer' | 'robots'."""
+        rules = self._rules(host)
+        b = self.buckets.setdefault(host, TokenBucket(self.rate, self.burst))
+        b.refill(now_round)
+        verdicts: list[str] = []
+        budget = int(b.tokens)
+        granted = 0
+        for u in urls:
+            rest = u.split("://", 1)[1] if "://" in u else u
+            slash = rest.find("/")
+            path = rest[slash:] if slash != -1 else "/"
+            if not robots_allowed(path, rules):
+                verdicts.append("robots")
+                self.rejected += 1
+            elif granted < budget:
+                verdicts.append("release")
+                granted += 1
+            else:
+                verdicts.append("defer")
+        b.take(granted)
+        return verdicts
+
+    def stats(self) -> dict:
+        return {"hosts": len(self.buckets), "robots_cached": len(self.robots),
+                "rejected": self.rejected}

@@ -15,3 +15,16 @@ def ray_session():
         )
     yield
     ray.shutdown()
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="session", autouse=True)
+def _quiet_ray_data():
+    try:
+        import ray.data
+        ctx = ray.data.DataContext.get_current()
+        ctx.enable_progress_bars = False
+    except Exception:
+        pass

@@ -1,0 +1,111 @@
+"""E2E reference-oracle parity (SURVEY.md §5 strategy #2, north rule):
+the Ray engine must reproduce the sequential simulator's page-visit
+order, final URL-seen set, and per-row stored images (decoded-pixel
+equality / PSNR≥40 for lossy, caption equality) on the synthetic web.
+"""
+
+import numpy as np
+import pytest
+
+from imgray import codecs as C
+from imgray.crawler import Crawler, CrawlerConfig, make_synth_fetcher
+from imgray.refsim import RefSim
+from imgray.synthweb import SynthWeb, default_spec, seeds, site_config
+
+from functools import partial
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    spec = default_spec(scale=1)
+    sim = RefSim(SynthWeb(spec), site_config(spec))
+    return spec, sim.crawl(seeds(spec))
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, oracle, tmp_path_factory):
+    spec, _ = oracle
+    root = str(tmp_path_factory.mktemp("crawl"))
+    cfg = CrawlerConfig(
+        root=root,
+        fetcher_factory=partial(make_synth_fetcher, spec),
+        site_cfg=site_config(spec),
+        rate_per_round=8.0,
+        burst=16.0,
+    )
+    cr = Crawler(cfg)
+    cr.seed(seeds(spec))
+    stats = cr.run()
+    return cr, stats
+
+
+def test_visit_order_exact(engine, oracle):
+    cr, _ = engine
+    _, ref = oracle
+    assert cr.visit_order() == ref.visit_order
+
+
+def test_seen_set_exact(engine, oracle):
+    cr, _ = engine
+    _, ref = oracle
+    assert cr.seen_urls() == ref.seen
+
+
+def test_images_per_row(engine, oracle):
+    cr, _ = engine
+    _, ref = oracle
+    tbl = cr.images_table()
+    got = {r["image_id"]: r for r in tbl.to_pylist()}
+    assert set(got) == set(ref.images)
+    for iid, want in ref.images.items():
+        g = got[iid]
+        assert g["caption"] == want["caption"], iid
+        assert g["fmt"] == want["fmt"], iid
+        assert (g["w"], g["h"]) == (want["w"], want["h"]), iid
+        assert g["phash"] == want["phash"], iid
+        # stored bytes identical → decoded pixels identical; lossy PSNR
+        # invariant additionally exercised vs the pristine source
+        assert g["bytes"] == want["bytes"], iid
+        if want["fmt"] in ("png", "bmp", "lsy"):
+            a = C.decode_image(g["bytes"])
+            b = C.decode_image(want["bytes"])
+            assert a.shape == b.shape
+            assert C.psnr(a, b) >= 40.0 or np.array_equal(a, b)
+
+
+def test_stats_and_lineage(engine):
+    cr, stats = engine
+    assert stats["pages"] == 47
+    assert stats["images"] == len(cr.images_table())
+    lt = cr.lineage_table().to_pylist()
+    assert sum(r["fetched"] for r in lt) == stats["pages"]
+    assert sum(r["images"] for r in lt) == stats["images"]
+    assert all(r["t_end"] >= r["t_start"] for r in lt)
+
+
+def test_politeness_budget_respected(ray_session, oracle, tmp_path_factory):
+    """With rate 2/round, no host exceeds its per-round budget, and the
+    final result is unchanged (ordering is seq-defined, not timing)."""
+    spec, ref = oracle
+    root = str(tmp_path_factory.mktemp("polite"))
+    cfg = CrawlerConfig(
+        root=root,
+        fetcher_factory=partial(make_synth_fetcher, spec),
+        site_cfg=site_config(spec),
+        rate_per_round=2.0,
+        burst=2.0,
+    )
+    cr = Crawler(cfg)
+    cr.seed(seeds(spec))
+    cr.run()
+    assert cr.visit_order() == ref.visit_order
+    assert cr.seen_urls() == ref.seen
+    # per-round per-host fetch counts ≤ burst
+    import pyarrow.parquet as pq
+    import os
+    from collections import Counter
+    for r in range(cr.round + 1):
+        p = os.path.join(cr.ckpt, f"round-{r:04d}", "visits.parquet")
+        if os.path.exists(p):
+            hosts = Counter(pq.read_table(p).column("host").to_pylist())
+            assert all(v <= 2 for v in hosts.values()), (r, hosts)

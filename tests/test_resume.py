@@ -1,0 +1,79 @@
+"""Checkpointed resume (SURVEY.md §5 strategy #3, north rule): stop the
+crawl after k rounds, build a fresh Crawler (fresh actors — simulating a
+new driver process), resume() from the committed manifest, finish, and
+get results identical to an uninterrupted run.  Also: robots.txt
+exclusion actually gates fetches.
+"""
+
+from functools import partial
+
+import pytest
+
+from imgray.crawler import Crawler, CrawlerConfig, make_synth_fetcher
+from imgray.refsim import RefSim
+from imgray.synthweb import SynthWeb, default_spec, seeds, site_config
+
+
+def _cfg(root, spec):
+    return CrawlerConfig(
+        root=root,
+        fetcher_factory=partial(make_synth_fetcher, spec),
+        site_cfg=site_config(spec),
+    )
+
+
+def _small_spec():
+    spec = default_spec(scale=1)
+    spec.hosts = [h for h in spec.hosts
+                  if h.name.split(".")[0] in ("lazy0", "two0", "json0")]
+    return spec
+
+
+def test_resume_identical(ray_session, tmp_path):
+    spec = _small_spec()
+    sd = [s for s in seeds(default_spec(scale=1))
+          if any(h.name in s for h in spec.hosts)]
+
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(sd)
+
+    # interrupted run: 2 rounds, then the driver "dies"
+    root = str(tmp_path / "c")
+    cr = Crawler(_cfg(root, spec))
+    cr.seed(sd)
+    for _ in range(2):
+        if cr._frontier_count(cr.round):
+            cr.run_round()
+    interrupted_round = cr.round
+    del cr
+
+    # fresh driver: resume from the committed manifest, finish
+    cr2 = Crawler(_cfg(root, spec))
+    assert cr2.resume()
+    assert cr2.round == interrupted_round
+    cr2.run()
+
+    assert cr2.visit_order() == ref.visit_order
+    assert cr2.seen_urls() == ref.seen
+    got = {r["image_id"]: r["bytes"] for r in cr2.images_table().to_pylist()}
+    want = {k: v["bytes"] for k, v in ref.images.items()}
+    assert got == want
+
+
+def test_robots_exclusion(ray_session, tmp_path):
+    """A /private/ URL in the frontier is rejected by the robots cache
+    and never fetched (every synth host disallows /private/)."""
+    spec = _small_spec()
+    root = str(tmp_path / "r")
+    cr = Crawler(_cfg(root, spec))
+    cr.seed(["https://lazy0.example/private/secret",
+             "https://lazy0.example/list/1"])
+    cr.run()
+    visits = cr.visit_order()
+    assert "https://lazy0.example/private/secret" not in visits
+    assert "https://lazy0.example/list/1" in visits
+    # seen-set still records the gated URL (it entered the frontier)
+    assert "https://lazy0.example/private/secret" in cr.seen_urls()
+    # and the scheduler counted the rejection
+    import ray
+    sts = ray.get([s.stats.remote() for s in cr.scheds])
+    assert sum(s["rejected"] for s in sts) == 1

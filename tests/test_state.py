@@ -1,0 +1,76 @@
+"""Unit tests: cuckoo filter, sharded seen set, politeness, robots."""
+
+import numpy as np
+import pytest
+
+from imgray.state.cuckoo import CuckooFilter, ShardedSeen, _hash64
+from imgray.state.politeness import TokenBucket, parse_robots, robots_allowed
+
+
+def test_cuckoo_no_false_negatives():
+    cf = CuckooFilter(capacity=1 << 12)
+    keys = [f"https://h{i}.com/p{i}" for i in range(3000)]
+    for k in keys:
+        cf.insert_hash(_hash64(k))
+    assert all(cf.contains_hash(_hash64(k)) for k in keys)
+
+
+def test_cuckoo_low_false_positive_rate():
+    cf = CuckooFilter(capacity=1 << 14)
+    for i in range(8000):
+        cf.insert_hash(_hash64(f"in-{i}"))
+    fp = sum(cf.contains_hash(_hash64(f"out-{i}")) for i in range(8000))
+    assert fp / 8000 < 0.05
+
+
+def test_cuckoo_overflow_spills_exactly():
+    cf = CuckooFilter(capacity=1 << 8)  # tiny → forced overflow
+    keys = [f"k{i}" for i in range(2000)]
+    for k in keys:
+        cf.insert_hash(_hash64(k))
+    assert all(cf.contains_hash(_hash64(k)) for k in keys)
+    assert len(cf.spill) > 0  # overflow really happened
+
+
+def test_sharded_seen(ray_session):
+    seen = ShardedSeen(num_shards=3)
+    keys = [f"u:https://x.com/{i}" for i in range(500)]
+    novel = seen.check_and_insert(keys)
+    assert all(novel)
+    again = seen.check_and_insert(keys)
+    assert not any(again)
+    mixed = seen.check_and_insert(["u:new-one", keys[0], "u:new-two"])
+    assert mixed == [True, False, True]
+    # deltas drain exactly the novel keys
+    delta = set(seen.drain_deltas())
+    assert delta == set(keys) | {"u:new-one", "u:new-two"}
+    assert seen.drain_deltas() == []
+    # restore is idempotent and doesn't create deltas
+    seen.restore(keys)
+    assert seen.drain_deltas() == []
+    st = seen.stats()
+    assert st["exact"] == 502
+
+
+def test_token_bucket():
+    b = TokenBucket(rate=2, burst=4)
+    assert b.take(10) == 4  # burst cap
+    b.refill(1)
+    assert b.take(10) == 2
+    b.refill(2)
+    b.refill(2)  # same round: no double refill
+    assert b.take(10) == 2
+    b.refill(10)  # long idle → capped at burst
+    assert b.take(10) == 4
+
+
+def test_robots_parsing():
+    rules = parse_robots(
+        "# comment\nUser-agent: *\nDisallow: /private/\nDisallow: /tmp\n"
+        "User-agent: other\nDisallow: /\n"
+    )
+    assert rules == ["/private/", "/tmp"]
+    assert robots_allowed("/public/x", rules)
+    assert not robots_allowed("/private/x", rules)
+    assert not robots_allowed("/tmp", rules)
+    assert robots_allowed("/", parse_robots(""))
