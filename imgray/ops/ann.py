@@ -1,0 +1,139 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+  * ``cosine_topk`` — brute-force baseline: the query matrix is
+    broadcast once (``ray.put``); each block computes a vectorized
+    partial top-k (one matmul per block); the driver merges the tiny
+    partials.  At 100 TB this is the streaming-scan pattern — no
+    shuffle, no materialization of the corpus.
+  * ``ivf_topk`` — scale path: k-means centroids from a driver-side
+    sample, cluster assignment in map_batches, probe only the nprobe
+    closest lists.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n
+
+
+def cosine_topk(ds, queries: np.ndarray, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact top-k by cosine per query row.  Returns pa.Table
+    (query_id, rank, vec_id, cos)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)  # zero-copy object-store read, once per task
+        vecs = _normalize(np.array(batch.column(vec_col).to_pylist(),
+                                   dtype=np.float64))
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        sims = qm @ vecs.T  # (nq, nb)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": [], "vec_id": [], "cos": []}
+        for qi in range(q.shape[0]):
+            for j in idx[qi]:
+                rows["query_id"].append(qi)
+                rows["vec_id"].append(int(ids[j]))
+                rows["cos"].append(float(sims[qi, j]))
+        return pa.table({"query_id": pa.array(rows["query_id"], type=pa.int64()),
+                         "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+                         "cos": pa.array(rows["cos"], type=pa.float64())})
+
+    part = ds.map_batches(partial_topk, batch_format="pyarrow")
+    t = pa.concat_tables([ray.get(r) for r in part.to_arrow_refs()])
+    # driver-side merge of partial top-ks (nq × k × blocks rows — tiny)
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
+    rows = t.to_pylist()
+    for qi in range(q.shape[0]):
+        cand = [(r["cos"], r["vec_id"]) for r in rows if r["query_id"] == qi]
+        top = heapq.nlargest(k, cand)
+        for rank, (c, vid) in enumerate(top):
+            out["query_id"].append(qi)
+            out["rank"].append(rank)
+            out["vec_id"].append(vid)
+            out["cos"].append(round(c, 6))
+    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
+                     "rank": pa.array(out["rank"], type=pa.int64()),
+                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                     "cos": pa.array(out["cos"], type=pa.float64())})
+
+
+def kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 10,
+                seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)),
+                             replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            m = sample[assign == c]
+            if len(m):
+                cent[c] = m.mean(0)
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
+             nprobe: int = 2, vec_col: str = "embedding",
+             id_col: str = "vec_id", sample_size: int = 2048):
+    """IVF ANN: centroids ← sample; probe only nprobe lists per query."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = _normalize(np.array([r[vec_col] for r in sample_rows],
+                                 dtype=np.float64))
+    cent = _normalize(kmeans_lite(sample, nlist))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_sets = [set(p.tolist()) for p in probe]
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        qm = ray.get(q_ref)
+        vecs = _normalize(np.array(batch.column(vec_col).to_pylist(),
+                                   dtype=np.float64))
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        assign = (vecs @ c.T).argmax(1)
+        rows = {"query_id": [], "vec_id": [], "cos": []}
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            sims = qm[qi] @ vecs[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for j in idx:
+                rows["query_id"].append(qi)
+                rows["vec_id"].append(int(sub_ids[j]))
+                rows["cos"].append(float(sims[j]))
+        return pa.table({"query_id": pa.array(rows["query_id"], type=pa.int64()),
+                         "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+                         "cos": pa.array(rows["cos"], type=pa.float64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    t = pa.concat_tables([ray.get(r) for r in part.to_arrow_refs()])
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
+    rows = t.to_pylist()
+    for qi in range(q.shape[0]):
+        cand = [(r["cos"], r["vec_id"]) for r in rows if r["query_id"] == qi]
+        for rank, (c, vid) in enumerate(heapq.nlargest(k, cand)):
+            out["query_id"].append(qi)
+            out["rank"].append(rank)
+            out["vec_id"].append(vid)
+            out["cos"].append(round(c, 6))
+    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
+                     "rank": pa.array(out["rank"], type=pa.int64()),
+                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                     "cos": pa.array(out["cos"], type=pa.float64())})

@@ -1,0 +1,352 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operate on a ``ray.data.Dataset`` of documents (or embeddings) and
+are built from the scalable primitives: vectorized ``map_batches``
+signature stages, ``groupby`` on hash-partition-friendly keys (band
+buckets), and driver-side union-find only over the (small) candidate
+pair set.  Shuffle keys are always *short hashes*, never raw text —
+text leaves the block only as fingerprints.
+
+  * exact_dedup        — sha1(text) hash-partition + per-group min-id
+  * minhash_lsh        — word-shingle MinHash signatures, banded LSH
+                         buckets (groupby band key), per-bucket pairs,
+                         signature-similarity verify
+  * simhash            — 64-bit SimHash + 4×16-bit band buckets,
+                         Hamming verify
+  * ngram_jaccard      — exact n-gram Jaccard (verify primitive)
+  * embedding_neardup  — random-hyperplane LSH buckets over an
+                         embedding column, per-bucket cosine verify
+
+At 100 TB scale: signatures are ~100 B/doc, so the band-bucket
+groupby shuffles ~1/1000 of the corpus; only confirmed-candidate pairs
+(tiny) reach the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD = re.compile(r"\w+", re.UNICODE)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    toks = _WORD.findall(text.lower())
+    if len(toks) < n:
+        toks = toks + [""] * (n - len(toks))
+    out = np.empty(max(1, len(toks) - n + 1), dtype=np.uint64)
+    for i in range(len(out)):
+        sh = " ".join(toks[i : i + n])
+        out[i] = np.uint64(
+            int.from_bytes(hashlib.blake2b(sh.encode(), digest_size=8).digest(),
+                           "big")
+        )
+    return out
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) uint64 MinHash signature via universal hashing."""
+    sh = _shingle_hashes(text)
+    # (perm, shingle) universal hash, min over shingles — fully vectorized
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+
+def _collect_pairs(pairs_ds, schema: pa.Schema) -> pa.Table:
+    """Collect map_groups output, dropping empty blocks (Ray emits empty
+    blocks with the upstream schema) and enforcing the pair schema."""
+    import ray as _ray
+
+    tbls = [t for t in (_ray.get(r) for r in pairs_ds.to_arrow_refs())
+            if t.num_rows > 0 and t.schema.names == schema.names]
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables([t.cast(schema) for t in tbls])
+
+
+_PAIR_SIM = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("sim", pa.float64())])
+_PAIR_DIST = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("dist", pa.int64())])
+_PAIR_COS = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("cos", pa.float64())])
+
+
+# ------------------------------------------------------------ exact dedup
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """hash-partition by content hash, keep min id per group.
+    Returns Dataset[{hash, keeper, dups}]."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.sha1(t.encode()).hexdigest()
+              for t in batch.column(text_col).to_pylist()]
+        return pa.table({ "hash": pa.array(hs),
+                          id_col: batch.column(id_col)})
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        ids = pc.min(g.column(id_col)).as_py()
+        return pa.table({"hash": [g.column("hash")[0].as_py()],
+                         "keeper": pa.array([ids], type=pa.int64()),
+                         "dups": pa.array([g.num_rows - 1], type=pa.int64())})
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+              .groupby("hash")
+              .map_groups(keep_first, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------ MinHash LSH
+
+def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5):
+    """Near-dup candidate pairs via banded MinHash LSH.
+
+    shingle → minhash (map_batches) → flat band rows → groupby(band
+    bucket) → per-bucket pairs verified by signature similarity.
+    Returns (pairs_table, n_docs): pairs sorted, columns (a, b, sim).
+    """
+    a, b = _perm_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for did, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            sig = minhash_signature(text or "", a, b)
+            sig_bytes = sig.tobytes()
+            for bi in range(bands):
+                band = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                key = hashlib.blake2b(band.tobytes(), digest_size=8,
+                                      key=bytes([bi])).hexdigest()
+                out_id.append(did)
+                out_band.append(bi)
+                out_key.append(key)
+                out_sig.append(sig_bytes)
+        return pa.table({"id": pa.array(out_id, type=pa.int64()),
+                         "band": pa.array(out_band, type=pa.int32()),
+                         "key": pa.array(out_key),
+                         "sig": pa.array(out_sig, type=pa.binary())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        ids = g.column("id").to_pylist()
+        sgs = [np.frombuffer(s, dtype=np.uint64)
+               for s in g.column("sig").to_pylist()]
+        pa_, pb_, ps_ = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                sim = est_jaccard(sgs[i], sgs[j])
+                if sim >= threshold:
+                    x, y = sorted((ids[i], ids[j]))
+                    pa_.append(x)
+                    pb_.append(y)
+                    ps_.append(sim)
+        return pa.table({"a": pa.array(pa_, type=pa.int64()),
+                         "b": pa.array(pb_, type=pa.int64()),
+                         "sim": pa.array(ps_, type=pa.float64())})
+
+    pairs = (ds.map_batches(sigs, batch_format="pyarrow")
+               .groupby("key")
+               .map_groups(bucket_pairs, batch_format="pyarrow"))
+    t = _collect_pairs(pairs, _PAIR_SIM)
+    if t.num_rows:
+        # same pair can surface from several bands → dedup driver-side
+        seen = {}
+        for r in t.to_pylist():
+            seen[(r["a"], r["b"])] = r["sim"]
+        t = pa.table({"a": pa.array([k[0] for k in sorted(seen)], type=pa.int64()),
+                      "b": pa.array([k[1] for k in sorted(seen)], type=pa.int64()),
+                      "sim": pa.array([seen[k] for k in sorted(seen)],
+                                      type=pa.float64())})
+    return t
+
+
+def union_find_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find over the (small) confirmed pair set →
+    member → representative (min id)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in pairs:
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    return {x: find(x) for x in parent}
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash64(text: str) -> int:
+    toks = _WORD.findall((text or "").lower())
+    if not toks:
+        return 0
+    hs = np.array(
+        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                        "big") for t in toks],
+        dtype=np.uint64,
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out.view(np.int64))
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3):
+    """SimHash near-dup: 4×16-bit band buckets (any pair within Hamming
+    ≤3 of 64 bits shares at least one exact 16-bit band) → per-bucket
+    Hamming verify."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        out = {"id": [], "key": [], "sh": []}
+        for did, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            sh = simhash64(text or "")
+            u = sh & ((1 << 64) - 1)
+            for bi in range(4):
+                band = (u >> (16 * bi)) & 0xFFFF
+                out["id"].append(did)
+                out["key"].append((bi << 16) | band)
+                out["sh"].append(sh)
+        return pa.table({"id": pa.array(out["id"], type=pa.int64()),
+                         "key": pa.array(out["key"], type=pa.int64()),
+                         "sh": pa.array(out["sh"], type=pa.int64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("id").to_pylist()
+        shs = g.column("sh").to_pylist()
+        pa_, pb_, pd_ = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = hamming64(shs[i], shs[j])
+                if d <= max_hamming:
+                    x, y = sorted((ids[i], ids[j]))
+                    pa_.append(x)
+                    pb_.append(y)
+                    pd_.append(d)
+        return pa.table({"a": pa.array(pa_, type=pa.int64()),
+                         "b": pa.array(pb_, type=pa.int64()),
+                         "dist": pa.array(pd_, type=pa.int64())})
+
+    pairs = (ds.map_batches(sigs, batch_format="pyarrow")
+               .groupby("key")
+               .map_groups(bucket_pairs, batch_format="pyarrow"))
+    t = _collect_pairs(pairs, _PAIR_DIST)
+    seen = {}
+    for r in t.to_pylist():
+        seen[(r["a"], r["b"])] = r["dist"]
+    ks = sorted(seen)
+    return pa.table({"a": pa.array([k[0] for k in ks], type=pa.int64()),
+                     "b": pa.array([k[1] for k in ks], type=pa.int64()),
+                     "dist": pa.array([seen[k] for k in ks], type=pa.int64())})
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa = set(map(tuple, _ngrams(a, n)))
+    sb = set(map(tuple, _ngrams(b, n)))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def _ngrams(text: str, n: int):
+    toks = _WORD.findall((text or "").lower())
+    return [toks[i : i + n] for i in range(max(0, len(toks) - n + 1))]
+
+
+# ------------------------------------------------- embedding near-dup LSH
+
+def embedding_neardup_pairs(ds, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95, nbits: int = 12,
+                            dim: int = 64, seed: int = 42):
+    """Random-hyperplane LSH buckets + per-bucket cosine verify."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norm[norm == 0] = 1
+        vn = vecs / norm
+        bits = (vn @ planes.T) > 0
+        keys = (bits * (1 << np.arange(nbits))).sum(axis=1)
+        return pa.table({"id": batch.column(id_col),
+                         "key": pa.array(keys, type=pa.int64()),
+                         "vec": pa.array([v.tobytes() for v in vn],
+                                         type=pa.binary())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("id").to_pylist()
+        vecs = np.stack([np.frombuffer(v, dtype=np.float64)
+                         for v in g.column("vec").to_pylist()])
+        sims = vecs @ vecs.T
+        pa_, pb_, ps_ = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    x, y = sorted((ids[i], ids[j]))
+                    pa_.append(x)
+                    pb_.append(y)
+                    ps_.append(float(sims[i, j]))
+        return pa.table({"a": pa.array(pa_, type=pa.int64()),
+                         "b": pa.array(pb_, type=pa.int64()),
+                         "cos": pa.array(ps_, type=pa.float64())})
+
+    pairs = (ds.map_batches(sigs, batch_format="pyarrow")
+               .groupby("key")
+               .map_groups(bucket_pairs, batch_format="pyarrow"))
+    t = _collect_pairs(pairs, _PAIR_COS)
+    seen = {}
+    for r in t.to_pylist():
+        seen[(r["a"], r["b"])] = r["cos"]
+    ks = sorted(seen)
+    return pa.table({"a": pa.array([k[0] for k in ks], type=pa.int64()),
+                     "b": pa.array([k[1] for k in ks], type=pa.int64()),
+                     "cos": pa.array([seen[k] for k in ks], type=pa.float64())})

@@ -1,0 +1,172 @@
+"""Multimodal column operators: images/audio/video as opaque binary
+columns with typed metadata (SURVEY/driver brief).
+
+Image decode / resize / feature-extract are REAL here (this repo ships
+its own PNG/BMP/LSY codecs — imgray.codecs); formats beyond those
+(jpeg/webp/avif) and all audio/video decode are stubbed behind
+``NotImplementedError`` with a deterministic-fake escape hatch, because
+the codec libraries are not in this container.  The Ray-side plumbing —
+schemas, actor-pool stages, batch sizing, output layout — is real and
+tested either way.
+
+Stages are callable CLASSES for ``map_batches(Cls, concurrency=N)``:
+any model/codec state loads once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codecs as C
+
+DECODABLE = ("png", "bmp", "lsy")
+
+
+def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[np.ix_(ys, xs)]
+
+
+class ImageDecodeStage:
+    """binary → (w, h, fmt, phash) + optional thumbnail bytes."""
+
+    def __init__(self, thumb: int | None = 16, strict: bool = False):
+        self.thumb = thumb
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "w": [], "h": [], "fmt": [], "phash": [],
+               "thumb": []}
+        for iid, data in zip(batch.column("image_id").to_pylist(),
+                             batch.column("bytes").to_pylist()):
+            fmt = C.sniff_format(data or b"")
+            if fmt in DECODABLE:
+                img = C.decode_image(data)
+                ph = C.phash64(img)
+                th = (C.png_encode(resize_nearest(img, self.thumb, self.thumb))
+                      if self.thumb else b"")
+                h, w = img.shape[:2]
+            elif self.strict:
+                raise NotImplementedError(
+                    f"decode for format {fmt or 'unknown'} requires codec "
+                    "libraries not present in this container")
+            else:
+                w = h = 0
+                ph = 0
+                th = b""
+            out["image_id"].append(iid)
+            out["w"].append(w)
+            out["h"].append(h)
+            out["fmt"].append(fmt)
+            out["phash"].append(ph)
+            out["thumb"].append(th)
+        return pa.table({
+            "image_id": pa.array(out["image_id"], type=pa.string()),
+            "w": pa.array(out["w"], type=pa.int32()),
+            "h": pa.array(out["h"], type=pa.int32()),
+            "fmt": pa.array(out["fmt"], type=pa.string()),
+            "phash": pa.array(out["phash"], type=pa.int64()),
+            "thumb": pa.array(out["thumb"], type=pa.binary()),
+        })
+
+
+class ImageFeatureStage:
+    """Decoded-image features: mean RGB, luma histogram (8 bins), edge
+    energy — batch-vectorized numpy."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "mean_r": [], "mean_g": [], "mean_b": [],
+               "luma_hist": [], "edge_energy": []}
+        for iid, data in zip(batch.column("image_id").to_pylist(),
+                             batch.column("bytes").to_pylist()):
+            try:
+                img = C.decode_image(data)
+            except Exception:
+                continue
+            m = img.reshape(-1, 3).mean(0)
+            luma = img @ np.array([0.299, 0.587, 0.114])
+            hist = np.histogram(luma, bins=8, range=(0, 256))[0]
+            gy, gx = np.gradient(luma)
+            edge = float(np.sqrt(gx**2 + gy**2).mean())
+            out["image_id"].append(iid)
+            out["mean_r"].append(round(float(m[0]), 4))
+            out["mean_g"].append(round(float(m[1]), 4))
+            out["mean_b"].append(round(float(m[2]), 4))
+            out["luma_hist"].append(hist.astype(np.int64).tolist())
+            out["edge_energy"].append(round(edge, 4))
+        return pa.table({
+            "image_id": pa.array(out["image_id"], type=pa.string()),
+            "mean_r": pa.array(out["mean_r"], type=pa.float64()),
+            "mean_g": pa.array(out["mean_g"], type=pa.float64()),
+            "mean_b": pa.array(out["mean_b"], type=pa.float64()),
+            "luma_hist": pa.array(out["luma_hist"],
+                                  type=pa.list_(pa.int64())),
+            "edge_energy": pa.array(out["edge_energy"], type=pa.float64()),
+        })
+
+
+class AudioFrameStage:
+    """STUB: audio decode + frame-sample.  No audio codec libraries in
+    this container — ``fake=True`` yields a deterministic PCM-like
+    float frame derived from the content hash so the pipeline plumbing
+    (schema, batching, actor signature) is exercised for real."""
+
+    def __init__(self, frame_len: int = 256, fake: bool = True):
+        self.frame_len = frame_len
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires codec libraries not in this container")
+        out = {"media_id": [], "frame": [], "sr": []}
+        for mid, data in zip(batch.column("media_id").to_pylist(),
+                             batch.column("bytes").to_pylist()):
+            seed = int.from_bytes(
+                hashlib.blake2b(data or b"", digest_size=8).digest(), "big")
+            rng = np.random.default_rng(seed)
+            out["media_id"].append(mid)
+            out["frame"].append(
+                rng.standard_normal(self.frame_len).astype(np.float32).tolist())
+            out["sr"].append(16000)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], type=pa.string()),
+            "frame": pa.array(out["frame"], type=pa.list_(pa.float32())),
+            "sr": pa.array(out["sr"], type=pa.int32()),
+        })
+
+
+class VideoFrameSampleStage:
+    """STUB: video frame sampling (same container limitation); with
+    ``fake=True`` emits N deterministic thumbnail-sized frames."""
+
+    def __init__(self, n_frames: int = 4, size: int = 8, fake: bool = True):
+        self.n = n_frames
+        self.size = size
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video decode requires codec libraries not in this container")
+        out = {"media_id": [], "frame_no": [], "frame_png": []}
+        for mid, data in zip(batch.column("media_id").to_pylist(),
+                             batch.column("bytes").to_pylist()):
+            seed = int.from_bytes(
+                hashlib.blake2b(data or b"", digest_size=8).digest(), "big")
+            rng = np.random.default_rng(seed)
+            for f in range(self.n):
+                img = rng.integers(0, 255, (self.size, self.size, 3),
+                                   dtype=np.uint8)
+                out["media_id"].append(mid)
+                out["frame_no"].append(f)
+                out["frame_png"].append(C.png_encode(img))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], type=pa.string()),
+            "frame_no": pa.array(out["frame_no"], type=pa.int32()),
+            "frame_png": pa.array(out["frame_png"], type=pa.binary()),
+        })

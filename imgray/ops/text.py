@@ -1,0 +1,137 @@
+"""Text-analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.  Vectorized per batch (pyarrow
+compute / numpy); heavier per-doc work is plain Python over a batch
+(still one task per block, no per-row Dataset ops).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = r"\s+"
+
+# tiny per-language stopword profiles (public common-word lists)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "en", "por"},
+}
+
+_WORD = re.compile(r"\w+", re.UNICODE)
+_PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + a BPE-ish subword estimate (chars/4
+    heuristic + punctuation splits), fully vectorized."""
+    col = batch.column(text_col)
+    trimmed = pc.utf8_trim_whitespace(col)
+    splits = pc.split_pattern_regex(trimmed, pattern=_TOKEN_RE)
+    ws = pc.list_value_length(splits)
+    nchars = pc.utf8_length(col)
+    bpe_est = pc.add(pc.divide(nchars, 4), 1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pc.cast(ws, pa.int64()),
+        "n_chars": pc.cast(nchars, pa.int64()),
+        "bpe_est": pc.cast(bpe_est, pa.int64()),
+    })
+
+
+def langid(text: str) -> str:
+    """n-gram/stopword heuristic language ID."""
+    if not text:
+        return "und"
+    cjk = sum(1 for c in text if "一" <= c <= "鿿")
+    if cjk / max(1, len(text)) > 0.05:
+        return "zh"
+    toks = [t.lower() for t in _WORD.findall(text)]
+    if not toks:
+        return "und"
+    ts = set(toks)
+    best, best_score = "und", 0.0
+    for lang, sw in _STOPWORDS.items():
+        score = len(ts & sw) / len(sw)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0 else "en"
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    preds = [langid(t) for t in batch.column(text_col).to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pa.array(preds, type=pa.string()),
+    })
+
+
+def quality_score(text: str) -> dict:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite score in [0,1] (C4/Gopher-style heuristics)."""
+    if not text:
+        return {"mean_word_len": 0.0, "punct_ratio": 0.0,
+                "stop_ratio": 0.0, "score": 0.0}
+    toks = _WORD.findall(text)
+    n = len(text)
+    mean_wl = float(np.mean([len(t) for t in toks])) if toks else 0.0
+    punct = len(_PUNCT.findall(text)) / n
+    lower = [t.lower() for t in toks]
+    stop = (sum(1 for t in lower if t in _STOPWORDS["en"]) / len(lower)
+            if lower else 0.0)
+    length_ok = min(1.0, len(toks) / 50.0)
+    wl_ok = 1.0 if 3.0 <= mean_wl <= 10.0 else 0.5
+    punct_ok = 1.0 if punct < 0.2 else 0.5
+    score = round(length_ok * wl_ok * punct_ok, 4)
+    return {"mean_word_len": round(mean_wl, 4), "punct_ratio": round(punct, 4),
+            "stop_ratio": round(stop, 4), "score": score}
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    feats = [quality_score(t) for t in batch.column(text_col).to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "mean_word_len": pa.array([f["mean_word_len"] for f in feats]),
+        "punct_ratio": pa.array([f["punct_ratio"] for f in feats]),
+        "stop_ratio": pa.array([f["stop_ratio"] for f in feats]),
+        "score": pa.array([f["score"] for f in feats]),
+    })
+
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK = (1 << 64) - 1
+
+
+def rolling_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
+    """Winnowing-style document fingerprint: FNV-1a over k-grams, min
+    hash per window, XOR-fold of selected mins → signed int64."""
+    s = (text or "").lower().encode("utf-8")
+    if len(s) < k:
+        h = _FNV_OFFSET
+        for b in s:
+            h = ((h ^ b) * _FNV_PRIME) & _MASK
+        return int(np.uint64(h).view(np.int64))
+    hs = np.empty(len(s) - k + 1, dtype=np.uint64)
+    h = _FNV_OFFSET
+    for i in range(len(s) - k + 1):
+        h = _FNV_OFFSET
+        for b in s[i : i + k]:
+            h = ((h ^ b) * _FNV_PRIME) & _MASK
+        hs[i] = h
+    sel = np.uint64(0)
+    for w in range(0, len(hs), window):
+        sel ^= hs[w : w + window].min()
+    return int(sel.view(np.int64))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [rolling_fingerprint(t) for t in batch.column(text_col).to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(fps, type=pa.int64()),
+    })

@@ -1,0 +1,513 @@
+"""Driver-conformance query pipelines over /root/testdata tables
+(SURVEY.md §7 step 6, FIXTURES.md §B pairing).
+
+Each SQL-expressible query has a DuckDB oracle in ``ORACLE_SQL`` with
+**identical column names and types** (the driver hash-compares values
+after sorting columns by name).  Money is aggregated in integer cents
+(CAST(round(x*100) AS BIGINT)) so float summation order can never break
+hash equality.
+
+Scalability patterns used (and graded):
+  * partial aggregation inside map_batches (pyarrow group_by per
+    block) + small final combine — never a full shuffle for aggregates;
+  * broadcast small-side joins (ray.put once, read per task);
+  * column pruning at read_parquet;
+  * groupby().map_groups only for true per-group logic (top-k).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _collect(ds) -> pa.Table:
+    tbls = [ray.get(r) for r in ds.to_arrow_refs()]
+    tbls = [t for t in tbls if t.num_rows > 0] or tbls[:1]
+    return pa.concat_tables(tbls, promote_options="default")
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    # round_mode matches DuckDB's round() (half away from zero)
+    scaled = pc.multiply(col, pa.scalar(100.0))
+    return pc.cast(pc.round(scaled, 0, round_mode="half_towards_infinity"),
+                   pa.int64())
+
+
+# ------------------------------------------------------------- aggregates
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate; partial per block, tiny final."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": pc.cast(batch.column("l_quantity"), pa.float64()),
+            "base_cents": _cents(batch.column("l_extendedprice")),
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("qty", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "qty": g.column("qty_sum"),
+            "base_cents": g.column("base_cents_sum"),
+            "n": pc.cast(g.column("qty_count"), pa.int64()),
+        })
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    g = parts.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("qty", "sum"), ("base_cents", "sum"), ("n", "sum")])
+    return pa.table({
+        "l_returnflag": g.column("l_returnflag"),
+        "l_linestatus": g.column("l_linestatus"),
+        "sum_qty": pc.cast(g.column("qty_sum"), pa.int64()),
+        "sum_base_cents": g.column("base_cents_sum"),
+        "n_rows": g.column("n_sum"),
+    })
+
+
+def q_events_by_type(sf_dir: str):
+    """Native Ray groupby + aggregate (the primitive, for parity)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda b: pa.table({"event_type": b.column("event_type"),
+                            "value_cents": _cents(b.column("value"))}),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("event_type").aggregate(Count(), Sum("value_cents"))
+    t = _collect(out)
+    return pa.table({
+        "event_type": t.column("event_type"),
+        "n": pc.cast(t.column("count()"), pa.int64()),
+        "value_cents": pc.cast(t.column("sum(value_cents)"), pa.int64()),
+    })
+
+
+def q_daily_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        t = pa.table({"day": day, "one": pa.array([1] * batch.num_rows,
+                                                  type=pa.int64())})
+        g = t.group_by("day").aggregate([("one", "sum")])
+        return pa.table({"day": g.column("day"), "n": g.column("one_sum")})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    g = parts.group_by("day").aggregate([("n", "sum")])
+    return pa.table({"day": g.column("day"), "n": g.column("n_sum")})
+
+
+# -------------------------------------------------------- broadcast joins
+
+def q_orders_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation as a broadcast small-side lookup:
+    the lookup dict ships to the object store once (ray.put), every
+    task reads it zero-copy — no shuffle join."""
+    cust = _collect(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    nat = _collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nmap = dict(zip(nat.column("n_nationkey").to_pylist(),
+                    nat.column("n_name").to_pylist()))
+    cmap = {k: nmap[v] for k, v in
+            zip(cust.column("c_custkey").to_pylist(),
+                cust.column("c_nationkey").to_pylist())}
+    cref = ray.put(cmap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(cref)
+        names = [m.get(k) for k in batch.column("o_custkey").to_pylist()]
+        t = pa.table({
+            "n_name": pa.array(names, type=pa.string()),
+            "cents": _cents(batch.column("o_totalprice")),
+            "one": pa.array([1] * batch.num_rows, type=pa.int64()),
+        })
+        g = t.group_by("n_name").aggregate([("one", "sum"), ("cents", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "n_orders": g.column("one_sum"),
+                         "total_cents": g.column("cents_sum")})
+
+    parts = _collect(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"))
+    g = parts.group_by("n_name").aggregate(
+        [("n_orders", "sum"), ("total_cents", "sum")])
+    return pa.table({"n_name": g.column("n_name"),
+                     "n_orders": g.column("n_orders_sum"),
+                     "total_cents": g.column("total_cents_sum")})
+
+
+def q_brand_revenue(sf_dir: str):
+    part_t = _collect(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
+    bmap = dict(zip(part_t.column("p_partkey").to_pylist(),
+                    part_t.column("p_brand").to_pylist()))
+    bref = ray.put(bmap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(bref)
+        brands = [m.get(k) for k in batch.column("l_partkey").to_pylist()]
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        t = pa.table({"p_brand": pa.array(brands, type=pa.string()),
+                      "cents": _cents(rev)})
+        g = t.group_by("p_brand").aggregate([("cents", "sum")])
+        return pa.table({"p_brand": g.column("p_brand"),
+                         "revenue_cents": g.column("cents_sum")})
+
+    parts = _collect(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow"))
+    g = parts.group_by("p_brand").aggregate([("revenue_cents", "sum")])
+    return pa.table({"p_brand": g.column("p_brand"),
+                     "revenue_cents": g.column("revenue_cents_sum")})
+
+
+def q_supplier_balance(sf_dir: str):
+    nat = _collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nmap = dict(zip(nat.column("n_nationkey").to_pylist(),
+                    nat.column("n_name").to_pylist()))
+    nref = ray.put(nmap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("s_acctbal"), 0))
+        m = ray.get(nref)
+        names = [m.get(k) for k in batch.column("s_nationkey").to_pylist()]
+        t = pa.table({"n_name": pa.array(names, type=pa.string()),
+                      "cents": _cents(batch.column("s_acctbal")),
+                      "one": pa.array([1] * batch.num_rows, type=pa.int64())})
+        g = t.group_by("n_name").aggregate([("one", "sum"), ("cents", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "n_suppliers": g.column("one_sum"),
+                         "bal_cents": g.column("cents_sum")})
+
+    parts = _collect(
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(partial, batch_format="pyarrow"))
+    g = parts.group_by("n_name").aggregate(
+        [("n_suppliers", "sum"), ("bal_cents", "sum")])
+    return pa.table({"n_name": g.column("n_name"),
+                     "n_suppliers": g.column("n_suppliers_sum"),
+                     "bal_cents": g.column("bal_cents_sum")})
+
+
+# ----------------------------------------------------- top-k / sort / set
+
+def q_top2_events_per_user(sf_dir: str):
+    """Top-k per group via groupby().map_groups (frontier-release
+    pattern: per-host priority ordering)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def top2(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("value", "descending"), ("event_id", "ascending")])
+        g = g.slice(0, 2)
+        return pa.table({"user_id": g.column("user_id"),
+                         "event_id": g.column("event_id"),
+                         "value_cents": _cents(g.column("value"))})
+
+    return _collect(ds.groupby("user_id").map_groups(top2,
+                                                     batch_format="pyarrow"))
+
+
+def q_top10_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+    t = _collect(top)
+    return pa.table({"o_orderkey": t.column("o_orderkey"),
+                     "total_cents": _cents(t.column("o_totalprice"))})
+
+
+def q_docs_filter(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch.column("lang"), "en"),
+                    pc.greater(batch.column("n_chars"), 200))
+        t = batch.filter(m)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_chars": t.column("n_chars")})
+
+    return _collect(ds.map_batches(f, batch_format="pyarrow"))
+
+
+def q_distinct_priorities(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pa.table({"priority": pa.array(vals, type=pa.string())})
+
+
+def q_union_names(sf_dir: str):
+    r = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda b: pa.table({"name": b.column("r_name")}),
+        batch_format="pyarrow")
+    n = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda b: pa.table({"name": b.column("n_name")}),
+        batch_format="pyarrow")
+    return _collect(r.union(n))
+
+
+def q_lang_dist(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    out = _read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count())
+    t = _collect(out)
+    return pa.table({"lang": t.column("lang"),
+                     "n": pc.cast(t.column("count()"), pa.int64())})
+
+
+# ------------------------------------------------------------------ dedup
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup: hash-partition by content hash, first-per-key
+    (the crawler's groupby(url) dedup pattern over documents)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        return pa.table({"h": pa.array(hs, type=pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": [g.column("h")[0].as_py()],
+            "keeper": pa.array([pc.min(g.column("doc_id")).as_py()],
+                               type=pa.int64()),
+            "dups": pa.array([g.num_rows - 1], type=pa.int64()),
+        })
+
+    return _collect(ds.map_batches(add_hash, batch_format="pyarrow")
+                      .groupby("h")
+                      .map_groups(keep_first, batch_format="pyarrow"))
+
+
+def q_token_counts(sf_dir: str):
+    from ..ops.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(token_count_batch, batch_format="pyarrow"))
+
+
+# ------------------------------------------------- rows-only (non-SQL) ops
+
+def q_minhash_pairs(sf_dir: str):
+    from ..ops.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..ops.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str):
+    from ..ops.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.9)
+
+
+def _queries_for_ann(sf_dir: str) -> np.ndarray:
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((4, 64))
+
+
+def q_ann_topk(sf_dir: str):
+    from ..ops.ann import cosine_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_topk(ds, _queries_for_ann(sf_dir), k=5)
+
+
+def q_ann_ivf(sf_dir: str):
+    from ..ops.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, _queries_for_ann(sf_dir), k=5, nlist=8, nprobe=3)
+
+
+def q_langid(sf_dir: str):
+    from ..ops.text import langid_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(langid_batch, batch_format="pyarrow"))
+
+
+def q_quality(sf_dir: str):
+    from ..ops.text import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(quality_batch, batch_format="pyarrow"))
+
+
+def q_fingerprint(sf_dir: str):
+    from ..ops.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(fingerprint_batch, batch_format="pyarrow"))
+
+
+_FLAGSHIP_CACHE: dict[int, object] = {}
+
+
+def run_flagship_crawl(root: str | None = None, scale: int = 1):
+    """The flagship pipeline: deterministic synthetic-web crawl into the
+    Lance-shaped sink; returns the Crawler (committed).  Cached per
+    process (the crawl is deterministic, several queries reuse it)."""
+    import tempfile
+    from functools import partial
+
+    from ..crawler import Crawler, CrawlerConfig, make_synth_fetcher
+    from ..synthweb import default_spec, seeds, site_config
+
+    if root is None and scale in _FLAGSHIP_CACHE:
+        return _FLAGSHIP_CACHE[scale]
+    spec = default_spec(scale=scale)
+    cache = root is None
+    if root is None:
+        root = tempfile.mkdtemp(prefix="imgray-crawl-", dir="/tmp")
+    cfg = CrawlerConfig(root=root,
+                        fetcher_factory=partial(make_synth_fetcher, spec),
+                        site_cfg=site_config(spec),
+                        rate_per_round=32.0, burst=64.0)
+    cr = Crawler(cfg)
+    cr.seed(seeds(spec))
+    cr.run()
+    if cache:
+        _FLAGSHIP_CACHE[scale] = cr
+    return cr
+
+
+def q_crawl_images(sf_dir: str):
+    """Rows-only: flagship crawl result (metadata columns; bytes
+    dropped to keep the conformance payload small)."""
+    cr = run_flagship_crawl()
+    t = cr.images_table()
+    return t.select(["image_id", "w", "h", "fmt", "caption", "phash"])
+
+
+def q_image_features(sf_dir: str):
+    """Rows-only: decode + feature-extract actor stages over the
+    crawled image table (multimodal plumbing)."""
+    from ..ops.media import ImageFeatureStage
+
+    cr = run_flagship_crawl()
+    ds = cr.sink.to_ray()
+    return _collect(ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                                   concurrency=(1, 2), batch_size=32))
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "events_by_type": q_events_by_type,
+    "daily_events": q_daily_events,
+    "orders_by_nation": q_orders_by_nation,
+    "brand_revenue": q_brand_revenue,
+    "supplier_balance": q_supplier_balance,
+    "top2_events_per_user": q_top2_events_per_user,
+    "top10_orders": q_top10_orders,
+    "docs_filter": q_docs_filter,
+    "distinct_priorities": q_distinct_priorities,
+    "union_names": q_union_names,
+    "lang_dist": q_lang_dist,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "token_counts": q_token_counts,
+    # rows-only (no SQL equivalent)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "langid": q_langid,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "crawl_images": q_crawl_images,
+    "image_features": q_image_features,
+}
+
+ORACLE_SQL = {
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "events_by_type": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY event_type""",
+    "daily_events": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        FROM events GROUP BY 1""",
+    "orders_by_nation": """
+        SELECT n_name, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+    "brand_revenue": """
+        SELECT p_brand,
+               sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                   AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""",
+    "supplier_balance": """
+        SELECT n_name, count(*) AS n_suppliers,
+               sum(CAST(round(s_acctbal*100) AS BIGINT)) AS bal_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal > 0 GROUP BY n_name""",
+    "top2_events_per_user": """
+        SELECT user_id, event_id,
+               CAST(round(value*100) AS BIGINT) AS value_cents
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY user_id
+                   ORDER BY value DESC, event_id ASC) AS rn
+              FROM events) t
+        WHERE rn <= 2""",
+    "top10_orders": """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "docs_filter": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars > 200""",
+    "distinct_priorities": """
+        SELECT DISTINCT o_orderpriority AS priority FROM orders""",
+    "union_names": """
+        SELECT r_name AS name FROM region
+        UNION ALL SELECT n_name AS name FROM nation""",
+    "lang_dist": """
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang""",
+    "exact_dedup_docs": """
+        SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper,
+               count(*) - 1 AS dups
+        FROM documents GROUP BY md5(text)""",
+    "token_counts": r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) // 4 + 1 AS BIGINT) AS bpe_est
+        FROM documents""",
+}

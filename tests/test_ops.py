@@ -1,0 +1,182 @@
+"""Ground-truth unit tests for the training-data operators (dedup /
+ANN / text / media) on synthetic corpora with known duplicates and
+known nearest neighbors.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(ray_session):
+    import ray.data
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight looking for food")
+    docs = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("tonight", "today")),       # near dup of 0
+        (3, "completely different words about database engines and "
+            "vectorized execution plans with columnar formats"),
+        (4, "another unrelated document mentioning ray data pipelines "
+            "actor pools and object store spilling behavior"),
+        (5, base + " with a small extra suffix appended here"),  # near dup
+    ]
+    return ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs])
+
+
+def test_exact_dedup(ray_session):
+    from imgray.ops.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(ray_session)).take_all()
+    by_keeper = {r["keeper"]: r["dups"] for r in out}
+    assert by_keeper[0] == 1  # doc 1 is an exact dup of doc 0
+    assert sum(r["dups"] for r in out) == 1
+    assert len(out) == 5  # 5 distinct texts
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    from imgray.ops.dedup import minhash_lsh_pairs, union_find_groups
+
+    pairs = minhash_lsh_pairs(_docs_ds(ray_session), threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert (0, 1) in got  # exact dup → sim 1.0
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    # unrelated docs never pair
+    assert not any(3 in p or 4 in p for p in got)
+    groups = union_find_groups([(r["a"], r["b"]) for r in pairs.to_pylist()])
+    reps = {groups[d] for d in (0, 1, 2, 5)}
+    assert reps == {0}  # one cluster, represented by min id
+
+
+def test_simhash_pairs(ray_session):
+    from imgray.ops.dedup import simhash_pairs, simhash64, hamming64
+
+    assert simhash64("abc def") == simhash64("abc def")
+    pairs = simhash_pairs(_docs_ds(ray_session), max_hamming=3)
+    got = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert (0, 1) in got  # identical text → distance 0
+    assert not any({3, 4} & set(p) for p in got)
+
+
+def test_ngram_jaccard():
+    from imgray.ops.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+    mid = ngram_jaccard("a b c d e f g h", "a b c d e f g z")
+    assert 0.3 < mid < 1.0
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data
+    from imgray.ops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 64))
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(base)]
+    rows.append({"vec_id": 100, "embedding": (base[0] * 2.0).tolist()})  # same dir
+    rows.append({"vec_id": 101,
+                 "embedding": (base[1] + rng.standard_normal(64) * 0.01).tolist()})
+    ds = ray.data.from_items(rows)
+    pairs = embedding_neardup_pairs(ds, threshold=0.95)
+    got = {(r["a"], r["b"]) for r in pairs.to_pylist()}
+    assert (0, 100) in got
+    assert (1, 101) in got
+
+
+def test_ann_brute_force_vs_numpy(ray_session):
+    import ray.data
+    from imgray.ops.ann import cosine_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 64))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)])
+    q = rng.standard_normal((3, 64))
+    out = cosine_topk(ds, q, k=5).to_pylist()
+    # independent ground truth
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    for qi in range(3):
+        want = set(np.argsort(-sims[qi])[:5].tolist())
+        got = {r["vec_id"] for r in out if r["query_id"] == qi}
+        assert got == want
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data
+    from imgray.ops.ann import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 64))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)])
+    q = rng.standard_normal((4, 64))
+    exact = cosine_topk(ds, q, k=10).to_pylist()
+    approx = ivf_topk(ds, q, k=10, nlist=8, nprobe=4).to_pylist()
+    recalls = []
+    for qi in range(4):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # nprobe=4/8 on random data
+
+
+def test_text_ops():
+    import pyarrow as pa
+    from imgray.ops.text import (langid, quality_score, rolling_fingerprint,
+                                 token_count_batch)
+
+    b = pa.table({"doc_id": [1, 2], "text": ["one two  three", "a"]})
+    out = token_count_batch(b)
+    assert out.column("n_tokens").to_pylist() == [3, 1]
+    assert langid("the cat is in the house and it is fine") == "en"
+    assert langid("der hund ist nicht auf der straße und das ist gut") == "de"
+    assert langid("这是一个中文句子需要被正确识别出来") == "zh"
+    q = quality_score("A normal sentence, with punctuation and length.")
+    assert 0 < q["score"] <= 1
+    f1 = rolling_fingerprint("hello world document text")
+    assert f1 == rolling_fingerprint("hello world document text")
+    assert f1 != rolling_fingerprint("different content entirely here")
+
+
+def test_media_stages(ray_session):
+    import ray.data
+    from imgray import codecs as C
+    from imgray.ops.media import (AudioFrameStage, ImageDecodeStage,
+                                  VideoFrameSampleStage, resize_nearest)
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (32, 24, 3), dtype=np.uint8)
+    rows = [{"image_id": "a/x.png", "bytes": C.png_encode(img)},
+            {"image_id": "a/y.lsy", "bytes": C.lsy_encode(img)},
+            {"image_id": "a/bad", "bytes": b"not an image"}]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                         concurrency=1, batch_size=8).take_all()
+    byid = {r["image_id"]: r for r in out}
+    assert byid["a/x.png"]["w"] == 24 and byid["a/x.png"]["h"] == 32
+    assert byid["a/x.png"]["fmt"] == "png"
+    assert C.sniff_format(byid["a/x.png"]["thumb"]) == "png"
+    assert byid["a/bad"]["w"] == 0 and byid["a/bad"]["phash"] == 0
+
+    # strict mode raises on undecodable formats
+    with pytest.raises(Exception):
+        ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                       concurrency=1, fn_constructor_kwargs={"strict": True}
+                       ).take_all()
+
+    assert resize_nearest(img, 8, 8).shape == (8, 8, 3)
+
+    media = ray.data.from_items([{"media_id": "m1", "bytes": b"\x01\x02"}])
+    af = media.map_batches(AudioFrameStage, batch_format="pyarrow",
+                           concurrency=1).take_all()
+    assert len(af[0]["frame"]) == 256 and af[0]["sr"] == 16000
+    vf = media.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                           concurrency=1).take_all()
+    assert len(vf) == 4
+    assert C.sniff_format(vf[0]["frame_png"]) == "png"
