@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md scaling criterion).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: run the flagship crawl twice in FRESH processes at
+num_cpus=4 and num_cpus=16 on the identical synthetic input (the
+sandbox stand-in for the N vs 4N *node* criterion, BASELINE.md; 4->16
+because the host provides ~19x effective parallelism on 32 slots, so
+8->32 would measure host oversubscription, not the engine) and
+report URLs/s, images/s and scaling efficiency.
+
+Owns its Ray session (init + shutdown); the imgray library never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline query subset (each exercises a distinct execution pattern)
+BENCH_QUERIES = [
+    "lineitem_agg",        # partial-agg + combine
+    "orders_by_nation",    # broadcast join
+    "brand_revenue",       # broadcast join, wide input
+    "top2_events_per_user",  # groupby.map_groups top-k
+    "top10_orders",        # distributed sort + limit
+    "exact_dedup_docs",    # hash-partition dedup
+    "token_counts",        # vectorized text ops
+    "minhash_pairs",       # LSH shuffle
+    "ann_topk",            # broadcast matmul scan
+    "langid",              # per-doc python-in-batch
+]
+
+CRAWL_SCALE = int(os.environ.get("IMGRAY_BENCH_CRAWL_SCALE", "3"))
+CRAWL_IMG_SCALE = int(os.environ.get("IMGRAY_BENCH_IMG_SCALE", "14"))
+CRAWL_HOT_ALBUMS = int(os.environ.get("IMGRAY_BENCH_HOT_ALBUMS", "300"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def run_crawl(num_cpus: int) -> dict:
+    """Flagship crawl on the deterministic synthetic web; returns
+    throughput metrics."""
+    from functools import partial
+
+    from imgray.crawler import Crawler, CrawlerConfig, make_synth_fetcher
+    from imgray.synthweb import default_spec, seeds, site_config
+
+    spec = default_spec(scale=CRAWL_SCALE, img_scale=CRAWL_IMG_SCALE,
+                        hot_albums=CRAWL_HOT_ALBUMS)
+    root = f"/tmp/imgray-bench-crawl-{num_cpus}"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = CrawlerConfig(
+        root=root,
+        fetcher_factory=partial(make_synth_fetcher, spec),
+        site_cfg=site_config(spec),
+        rate_per_round=1e6, burst=1e6,  # politeness budget >> frontier
+        fetch_concurrency=max(2, num_cpus - 2),
+        img_concurrency=max(2, num_cpus - 2),
+        fetch_batch=8,
+        img_batch=32,
+        strict_name_dedup=False,  # throughput config (see CrawlerConfig)
+    )
+    cr = Crawler(cfg)
+    cr.seed(seeds(spec))
+
+    # warm the worker-process pool (imports + fetch client) so measured
+    # throughput is sustained-state, not python cold-start
+    import ray.data
+
+    def _warm(batch):
+        import imgray.crawler  # noqa: F401
+        import imgray.codecs  # noqa: F401
+        return batch
+
+    (ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4)
+     .map_batches(_warm, batch_size=1).materialize())
+
+    t0 = time.time()
+    stats = cr.run()
+    wall = time.time() - t0
+    n_urls = len(cr.seen_urls())
+    return {
+        "wall_s": round(wall, 3),
+        "pages": stats["pages"],
+        "images": stats["images"],
+        "bytes": stats["bytes"],
+        "urls_seen": n_urls,
+        "pages_per_s": round(stats["pages"] / wall, 3),
+        "urls_per_s": round(n_urls / wall, 3),
+        "images_per_s": round(stats["images"] / wall, 3),
+        "bytes_per_s": round(stats["bytes"] / wall, 1),
+        "rounds": stats["rounds"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from imgray.pipelines.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_bench() -> None:
+    _init_ray(NUM_CPUS)
+    import ray
+
+    t0 = time.time()
+    crawl = run_crawl(NUM_CPUS)
+    queries = run_queries(SF_DIR)
+    queries["crawl"] = crawl["wall_s"]
+    total = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "imgray bench suite (flagship crawl + query set)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "crawl": crawl,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+def main_crawl_only(num_cpus: int) -> None:
+    _init_ray(num_cpus)
+    import ray
+
+    print(json.dumps({"crawl": run_crawl(num_cpus), "num_cpus": num_cpus}))
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    """Fresh process per parallelism level (BASELINE.md criterion)."""
+    # N=4 vs 4N=16: this sandbox exposes 32 CPU *slots* but only ~19x
+    # effective hardware parallelism (measured via mp.Pool), so 8->32
+    # would measure the host's oversubscription, not the engine.  4->16
+    # is a true 4x within real capacity (documented in BASELINE.md).
+    # scaling workload: many small images (compute-bound per-row python
+    # work) so the host's memory-bandwidth ceiling doesn't mask engine
+    # scaling; big enough (~40k pages / 140k images) that per-round
+    # fixed costs amortize.
+    env = dict(os.environ,
+               IMGRAY_BENCH_HOT_ALBUMS=os.environ.get(
+                   "IMGRAY_SCALING_HOT_ALBUMS", "20000"),
+               IMGRAY_BENCH_IMG_SCALE=os.environ.get(
+                   "IMGRAY_SCALING_IMG_SCALE", "2"))
+    results = {}
+    for n in (4, 16):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--crawl-only", "--cpus", str(n)],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        results[n] = json.loads(line)["crawl"]
+    ta, tb = results[4], results[16]
+    eff = (tb["images_per_s"] / ta["images_per_s"]) / (16 / 4)
+    print(json.dumps({
+        "metric": "crawl scaling efficiency (num_cpus 4 -> 16, fresh sessions)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "n4": ta,
+        "n16": tb,
+        "urls_per_s": {"4": ta["urls_per_s"], "16": tb["urls_per_s"]},
+        "images_per_s": {"4": ta["images_per_s"], "16": tb["images_per_s"]},
+        "efficiency": round(eff, 4),
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    args = ap.parse_args()
+    if args.scaling:
+        main_scaling()
+    elif args.crawl_only:
+        main_crawl_only(args.cpus)
+    else:
+        main_bench()

@@ -44,7 +44,7 @@ def png_encode(img: np.ndarray) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = np.zeros((h, w * 3 + 1), dtype=np.uint8)
     raw[:, 1:] = img.reshape(h, w * 3)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), 2)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -141,21 +141,24 @@ def _dct_mat(n: int) -> np.ndarray:
     return m
 
 
-_D8 = _dct_mat(8)
+_D8 = _dct_mat(8).astype(np.float32)
 _Q = 4.0  # flat quantizer step → PSNR ≳ 44 dB
 
 
 def lsy_encode(img: np.ndarray) -> bytes:
     h, w, _ = img.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    pad = np.zeros((ph, pw, 3), dtype=np.float64)
+    pad = np.zeros((ph, pw, 3), dtype=np.float32)
     pad[:h, :w] = img
     pad[h:, :w] = img[h - 1 : h, :]
     pad[:, w:] = pad[:, w - 1 : w]
-    blocks = pad.reshape(ph // 8, 8, pw // 8, 8, 3).transpose(0, 2, 4, 1, 3)
-    coeff = np.einsum("ij,bckjl,ml->bckim", _D8, blocks - 128.0, _D8)
-    q = np.round(coeff / _Q).astype(np.int16)
-    payload = zlib.compress(q.tobytes(), 6)
+    # (nblocks, 8, 8) batched GEMM: D @ X @ D.T  (float32, cache-friendly)
+    blocks = (pad.reshape(ph // 8, 8, pw // 8, 8, 3)
+              .transpose(0, 2, 4, 1, 3)
+              .reshape(-1, 8, 8)) - np.float32(128.0)
+    coeff = _D8[None] @ blocks @ _D8.T[None]
+    q = np.round(coeff / np.float32(_Q)).astype(np.int16)
+    payload = zlib.compress(q.tobytes(), 3)
     return b"LSY1" + struct.pack("<HH", w, h) + payload
 
 
@@ -164,12 +167,15 @@ def lsy_decode(data: bytes) -> np.ndarray:
         raise ValueError("not LSY")
     w, h = struct.unpack("<HH", data[4:8])
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    nb, nc = ph // 8, pw // 8
     q = np.frombuffer(zlib.decompress(data[8:]), dtype=np.int16).reshape(
-        ph // 8, pw // 8, 3, 8, 8
+        -1, 8, 8
     )
-    coeff = q.astype(np.float64) * _Q
-    blocks = np.einsum("ji,bckjl,lm->bckim", _D8, coeff, _D8) + 128.0
-    img = blocks.transpose(0, 3, 1, 4, 2).reshape(ph, pw, 3)
+    coeff = q.astype(np.float32) * np.float32(_Q)
+    blocks = (_D8.T[None] @ coeff @ _D8[None]) + np.float32(128.0)
+    img = (blocks.reshape(nb, nc, 3, 8, 8)
+           .transpose(0, 3, 1, 4, 2)
+           .reshape(ph, pw, 3))
     return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
 
 
@@ -220,15 +226,34 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
 
 # ----------------------------------------------------------------- pHash
 
-_D32 = _dct_mat(32)
+_D32 = _dct_mat(32).astype(np.float32)
+_LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
 def phash64(img: np.ndarray) -> int:
     """64-bit perceptual hash as a signed int64 (BASELINE.json input_hint).
 
     32×32 grayscale → 2-D DCT-II → top-left 8×8 coefficients; bits =
-    coeff > median(coeffs sans DC).
+    coeff > median(coeffs sans DC).  Subsamples *before* the luma
+    matmul so cost is O(32×32), independent of image size.
     """
+    h, w = img.shape[:2]
+    ys = (np.arange(32) * h // 32).clip(0, h - 1)
+    xs = (np.arange(32) * w // 32).clip(0, w - 1)
+    small_rgb = img[np.ix_(ys, xs)].astype(np.float32)
+    small = small_rgb @ _LUMA
+    coeff = _D32 @ small @ _D32.T
+    block = coeff[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = block > med
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
+    return int(val.view(np.int64))
+
+
+def _phash64_fullgray(img: np.ndarray) -> int:  # pragma: no cover
+    """Original full-resolution-luma variant (kept for reference)."""
     gray = img @ np.array([0.299, 0.587, 0.114])
     h, w = gray.shape
     ys = (np.arange(32) * h // 32).clip(0, h - 1)

@@ -104,28 +104,35 @@ def make_synth_fetcher(spec: WebSpec):
 
 # ----------------------------------------------------------------- stages
 
+# Per-worker-process client memo: task-mode stages build the fetch
+# client once per worker process (the actor-pool benefit — setup once —
+# without per-execution actor startup latency; SURVEY.md §2.3).
+_CLIENT_CACHE: dict[str, object] = {}
 
-class PageParser:
-    """Fetch + extract actor (stateful: fetch client + site config are
-    built once per actor — SURVEY.md §2.3)."""
 
-    def __init__(self, fetcher_factory, site_cfg: list[dict]):
-        self.fetch = fetcher_factory()
-        self.cfg = site_cfg
+def _cached_client(factory, key: str):
+    c = _CLIENT_CACHE.get(key)
+    if c is None:
+        c = factory()
+        _CLIENT_CACHE[key] = c
+    return c
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out: list[dict] = []
-        for row in batch.select(["url", "host", "seq", "depth", "kind"]).to_pylist():
+
+def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict]) -> pa.Table:
+    """Fetch + extract one batch of frontier rows (the reference's
+    parse() body over a batch; HTML never leaves this function)."""
+    out: list[dict] = []
+    for row in batch.select(["url", "host", "seq", "depth", "kind"]).to_pylist():
             url, host, seq = row["url"], row["host"], row["seq"]
             depth, kind = row["depth"], row["kind"]
-            resp = self.fetch(url)
+            resp = fetch(url)
             ok = resp.status == 200 and bool(resp.body)
             out.append({"row_kind": "page", "url": url, "host": host,
                         "status": resp.status if ok else (resp.status or 0),
                         "seq": seq, "depth": depth, "kind": kind})
             if not ok:
                 continue
-            entry = U.host_suffix_lookup(host, self.cfg)
+            entry = U.host_suffix_lookup(host, site_cfg)
             p = parse_page(resp.text, url, entry)
             if not p.ok:
                 continue
@@ -134,7 +141,7 @@ class PageParser:
                 for detail_url, _k in p.urls:
                     out.append({"row_kind": "seen", "url": detail_url,
                                 "host": host, "seq": seq})
-                    dresp = self.fetch(detail_url)
+                    dresp = fetch(detail_url)
                     if dresp.status != 200:
                         continue
                     for u2, cap in two_level_urls(dresp.text, p.two_level_sel, url):
@@ -161,7 +168,26 @@ class PageParser:
                     out.append({"row_kind": "link", "url": p.next_url,
                                 "host": nhost, "seq": seq_next(seq),
                                 "depth": depth, "kind": kind})
-        return S.table_from_rows(EXTRACT, out)
+    return S.table_from_rows(EXTRACT, out)
+
+
+class PageParser:
+    """Fetch + extract actor (stateful: fetch client + site config built
+    once per actor — SURVEY.md §2.3).  Actor-pool mode."""
+
+    def __init__(self, fetcher_factory, site_cfg: list[dict]):
+        self.fetch = fetcher_factory()
+        self.cfg = site_cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return parse_page_batch(batch, self.fetch, self.cfg)
+
+
+def parse_page_task(batch: pa.Table, fetcher_factory, client_key: str,
+                    site_cfg: list[dict]) -> pa.Table:
+    """Task-mode stage: client memoized per worker process."""
+    return parse_page_batch(batch, _cached_client(fetcher_factory, client_key),
+                            site_cfg)
 
 
 def gate_batch(batch: pa.Table, seen: ShardedSeen) -> pa.Table:
@@ -199,20 +225,15 @@ def gate_batch(batch: pa.Table, seen: ShardedSeen) -> pa.Table:
     return S.table_from_rows(EXTRACT, kept)
 
 
-class ImageWorker:
-    """Image fetch + decode + pHash actor (batch in, Arrow out)."""
-
-    def __init__(self, fetcher_factory, store_data_uris: bool = True):
-        self.fetch = fetcher_factory()
-        self.store_data_uris = store_data_uris
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out: list[dict] = []
+def image_batch(batch: pa.Table, fetch, store_data_uris: bool) -> pa.Table:
+    """Image fetch + decode + pHash over one batch (Arrow in/out)."""
+    out: list[dict] = []
+    if True:
         for r in batch.to_pylist():
             url, album, caption, seq = r["url"], r["album"], r["caption"], r["seq"]
             d = U.sanitize_dir(album)
             if url.startswith("data:image/"):
-                if not self.store_data_uris:
+                if not store_data_uris:
                     continue
                 parsed = U.parse_data_uri(url)
                 if parsed is None:
@@ -220,7 +241,7 @@ class ImageWorker:
                 ext, raw = parsed
                 rec = image_record(data_uri_image_id(d, ext, raw), raw, "")
             else:
-                resp = self.fetch(U.percent_encode(url))
+                resp = fetch(U.percent_encode(url))
                 if resp.status != 200 or not resp.body:
                     continue  # fire-and-forget parity (ref src/main.rs:643)
                 iid = derive_image_id(d, url, caption or "", resp.content_type)
@@ -229,7 +250,38 @@ class ImageWorker:
                 rec = image_record(iid, resp.body, caption or "")
             rec["seq"] = seq
             out.append(rec)
-        return S.table_from_rows(IMG_OUT, out)
+    return S.table_from_rows(IMG_OUT, out)
+
+
+class ImageWorker:
+    """Image fetch/decode/pHash actor (actor-pool mode)."""
+
+    def __init__(self, fetcher_factory, store_data_uris: bool = True):
+        self.fetch = fetcher_factory()
+        self.store_data_uris = store_data_uris
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return image_batch(batch, self.fetch, self.store_data_uris)
+
+
+def image_task(batch: pa.Table, fetcher_factory, client_key: str,
+               store_data_uris: bool) -> pa.Table:
+    """Task-mode stage: client memoized per worker process."""
+    return image_batch(batch, _cached_client(fetcher_factory, client_key),
+                       store_data_uris)
+
+
+def image_sink_task(batch: pa.Table, fetcher_factory, client_key: str,
+                    store_data_uris: bool, seen, data_dir: str,
+                    rnd: int) -> pa.Table:
+    """Fused fetch→decode→gate→fragment-write stage: image bytes never
+    re-enter the object store between sub-steps (single task, single
+    local write) — the hot-path fusion the streaming executor can't
+    guarantee across differing map args."""
+    t = image_batch(batch, _cached_client(fetcher_factory, client_key),
+                    store_data_uris)
+    t = written_gate(t, seen)
+    return write_fragment(t, data_dir, rnd)
 
 
 def release_group(group: pa.Table, scheds: list, now_round: int) -> pa.Table:
@@ -272,8 +324,10 @@ def write_fragment(batch: pa.Table, data_dir: str, rnd: int) -> pa.Table:
                          "rows": pa.array([], type=pa.int64()),
                          "nbytes": pa.array([], type=pa.int64())})
     tbl = batch.select([f.name for f in S.IMAGES])
+    ids = batch.column("image_id")
     name = hashlib.blake2b(
-        (batch.column("image_id")[0].as_py() + str(batch.num_rows)).encode(),
+        "|".join((ids[0].as_py(), ids[-1].as_py(),
+                  str(batch.num_rows))).encode(),
         digest_size=8).hexdigest()
     rel = os.path.join("data", f"frag-r{rnd}-{name}.parquet")
     root = os.path.dirname(data_dir)
@@ -304,6 +358,20 @@ class CrawlerConfig:
     img_concurrency: int = 4
     img_batch: int = 64
     max_rounds: int = 200
+    # strict within-round image_id name-collision dedup (groupby shuffle);
+    # off ⇒ collisions across *different* URLs resolve first-come (the
+    # (album,url,caption) gate still dedups exactly) — a throughput knob
+    strict_name_dedup: bool = True
+    # frontier release: below this row count the release runs driver-side
+    # (same politeness actors, no shuffle); above it, distributed groupby
+    release_driver_threshold: int = 100000
+    # 'task': map_batches tasks with a per-worker-process memoized fetch
+    #   client (setup-once without per-round actor-pool startup latency —
+    #   right when client construction is cheap, as with the synthetic
+    #   web / an HTTP session object);
+    # 'actor': classic actor pools (right for heavy per-worker state:
+    #   model weights, large caches)
+    stage_mode: str = "task"
 
 
 class Crawler:
@@ -314,6 +382,9 @@ class Crawler:
         self.ckpt = os.path.join(cfg.root, "ckpt")
         os.makedirs(self.ckpt, exist_ok=True)
         self.seen = ShardedSeen(cfg.seen_shards)
+        import uuid as _uuid
+
+        self._client_key = _uuid.uuid4().hex  # per-crawl client memo key
         self.scheds = [
             SchedulerShard.remote(cfg.fetcher_factory, cfg.rate_per_round,
                                   cfg.burst, cfg.respect_robots)
@@ -385,23 +456,55 @@ class Crawler:
             stats["bytes"] += rs["bytes"]
         return stats
 
+    def _release_driver_side(self, frontier: pa.Table, rnd: int) -> pa.Table:
+        """Driver-side release for small frontiers: one parallel actor
+        call per host, identical semantics to the groupby path."""
+        frontier = frontier.sort_by([("host", "ascending"),
+                                     ("seq", "ascending")])
+        hosts = frontier.column("host").to_pylist()
+        urls = frontier.column("url").to_pylist()
+        by_host: dict[str, list[int]] = {}
+        for i, h in enumerate(hosts):
+            by_host.setdefault(h, []).append(i)
+        futs = {}
+        for h, idxs in by_host.items():
+            shard = int.from_bytes(
+                hashlib.blake2b(h.encode(), digest_size=4).digest(), "big"
+            ) % len(self.scheds)
+            futs[h] = self.scheds[shard].filter_and_grant.remote(
+                h, [urls[i] for i in idxs], rnd + 1)
+        verdicts = [""] * frontier.num_rows
+        for h, idxs in by_host.items():
+            for i, v in zip(idxs, ray.get(futs[h])):
+                verdicts[i] = v
+        return frontier.append_column(VERDICT,
+                                      pa.array(verdicts, type=pa.string()))
+
     def run_round(self) -> dict:
         cfg = self.cfg
         rnd = self.round
         t0 = time.time()
 
-        frontier = ray.data.read_parquet(self._frontier_paths(rnd))
-        released_out = (
-            frontier.groupby("host")
-            .map_groups(partial(release_group, scheds=self.scheds,
-                                now_round=rnd + 1),
-                        batch_format="pyarrow")
-            .materialize()
-        )
-        rel_tbl = pa.concat_tables(
-            [ray.get(ref) for ref in released_out.to_arrow_refs()],
-            promote_options="default",
-        )
+        n_frontier = self._frontier_count(rnd)
+        if n_frontier <= cfg.release_driver_threshold:
+            # small frontier: same per-host release via the scheduler
+            # actors, no shuffle (calls fan out in parallel per host)
+            ft = pa.concat_tables(
+                [pq.read_table(p) for p in self._frontier_paths(rnd)])
+            rel_tbl = self._release_driver_side(ft, rnd)
+        else:
+            frontier = ray.data.read_parquet(self._frontier_paths(rnd))
+            released_out = (
+                frontier.groupby("host")
+                .map_groups(partial(release_group, scheds=self.scheds,
+                                    now_round=rnd + 1),
+                            batch_format="pyarrow")
+                .materialize()
+            )
+            rel_tbl = pa.concat_tables(
+                [ray.get(ref) for ref in released_out.to_arrow_refs()],
+                promote_options="default",
+            )
         if rel_tbl.num_rows:
             released = rel_tbl.filter(pc.equal(rel_tbl.column(VERDICT), "release"))
             deferred = rel_tbl.filter(pc.equal(rel_tbl.column(VERDICT), "defer"))
@@ -409,12 +512,24 @@ class Crawler:
             released = deferred = rel_tbl
 
         # fetch + extract + gate (HTML never leaves the PageParser actors)
+        rel_ds = ray.data.from_arrow(released.drop_columns([VERDICT]))
+        nb = max(1, min(8 * cfg.fetch_concurrency,
+                        -(-released.num_rows // cfg.fetch_batch)))
+        if nb > 1:
+            rel_ds = rel_ds.repartition(nb)  # split for pool parallelism
+        if cfg.stage_mode == "actor":
+            fetched = rel_ds.map_batches(
+                PageParser, batch_format="pyarrow",
+                batch_size=cfg.fetch_batch,
+                concurrency=(1, cfg.fetch_concurrency),
+                fn_constructor_args=(cfg.fetcher_factory, cfg.site_cfg))
+        else:
+            fetched = rel_ds.map_batches(
+                partial(parse_page_task, fetcher_factory=cfg.fetcher_factory,
+                        client_key=self._client_key, site_cfg=cfg.site_cfg),
+                batch_format="pyarrow", batch_size=cfg.fetch_batch)
         extract = (
-            ray.data.from_arrow(released.drop_columns([VERDICT]))
-            .map_batches(PageParser, batch_format="pyarrow",
-                         batch_size=cfg.fetch_batch,
-                         concurrency=(1, cfg.fetch_concurrency),
-                         fn_constructor_args=(cfg.fetcher_factory, cfg.site_cfg))
+            fetched
             .map_batches(partial(gate_batch, seen=self.seen),
                          batch_format="pyarrow")
             .materialize()
@@ -434,21 +549,54 @@ class Crawler:
         frag_rows: list[dict] = []
         if imgs.num_rows:
             data_dir = self.sink.data_dir
-            frags = (
-                ray.data.from_arrow(imgs)
-                .map_batches(ImageWorker, batch_format="pyarrow",
-                             batch_size=cfg.img_batch,
-                             concurrency=(1, cfg.img_concurrency),
-                             fn_constructor_args=(cfg.fetcher_factory,
-                                                  cfg.store_data_uris))
-                .groupby("image_id")
-                .map_groups(dedup_min_seq, batch_format="pyarrow")
-                .map_batches(partial(written_gate, seen=self.seen),
-                             batch_format="pyarrow")
-                .map_batches(partial(write_fragment, data_dir=data_dir,
-                                     rnd=rnd),
-                             batch_format="pyarrow")
-            )
+            if cfg.stage_mode != "actor" and not cfg.strict_name_dedup:
+                # fused hot path chained off the cached extract blocks:
+                # filter img rows + decode→gate→write in one task per
+                # block — image bytes never reach the driver and never
+                # re-enter the object store between sub-steps
+                def _imgs_only(b: pa.Table) -> pa.Table:
+                    return b.filter(pc.equal(b.column("row_kind"), "img"))
+
+                frags = extract.map_batches(
+                    _imgs_only, batch_format="pyarrow"
+                ).map_batches(
+                    partial(image_sink_task,
+                            fetcher_factory=cfg.fetcher_factory,
+                            client_key=self._client_key,
+                            store_data_uris=cfg.store_data_uris,
+                            seen=self.seen, data_dir=data_dir, rnd=rnd),
+                    batch_format="pyarrow", batch_size=cfg.img_batch)
+            else:
+                img_ds = ray.data.from_arrow(imgs)
+                nbi = max(1, min(4 * cfg.img_concurrency,
+                                 -(-imgs.num_rows // cfg.img_batch)))
+                if nbi > 1:
+                    img_ds = img_ds.repartition(nbi)
+                if cfg.stage_mode == "actor":
+                    frags = img_ds.map_batches(
+                        ImageWorker, batch_format="pyarrow",
+                        batch_size=cfg.img_batch,
+                        concurrency=(1, cfg.img_concurrency),
+                        fn_constructor_args=(cfg.fetcher_factory,
+                                             cfg.store_data_uris))
+                else:
+                    frags = img_ds.map_batches(
+                        partial(image_task,
+                                fetcher_factory=cfg.fetcher_factory,
+                                client_key=self._client_key,
+                                store_data_uris=cfg.store_data_uris),
+                        batch_format="pyarrow", batch_size=cfg.img_batch)
+                if cfg.strict_name_dedup:
+                    frags = frags.groupby("image_id").map_groups(
+                        dedup_min_seq, batch_format="pyarrow")
+                frags = (
+                    frags
+                    .map_batches(partial(written_gate, seen=self.seen),
+                                 batch_format="pyarrow")
+                    .map_batches(partial(write_fragment, data_dir=data_dir,
+                                         rnd=rnd),
+                                 batch_format="pyarrow")
+                )
             frag_rows = frags.take_all()
 
         # next frontier = deferred ∪ novel links

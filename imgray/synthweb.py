@@ -64,9 +64,11 @@ class HostSpec:
 class WebSpec:
     seed: int = 42
     hosts: list[HostSpec] = field(default_factory=list)
+    img_scale: int = 1  # multiplies generated image dimensions (bench knob)
 
 
-def default_spec(scale: int = 1, seed: int = 42) -> WebSpec:
+def default_spec(scale: int = 1, seed: int = 42, img_scale: int = 1,
+                 hot_albums: int | None = None) -> WebSpec:
     """scale=1 → ~30 pages / ~100 images (test size); scale up for bench."""
     hosts: list[HostSpec] = []
     for i in range(scale):
@@ -79,9 +81,10 @@ def default_spec(scale: int = 1, seed: int = 42) -> WebSpec:
             HostSpec(f"jsona{i}.example", "json_array", pages=2, imgs=3),
             HostSpec(f"two{i}.example", "two", pages=2, imgs=3),
         ]
-    hosts.append(HostSpec("hot.example", "lazy",
-                          listings=1, albums=10 * max(1, scale), pages=2, imgs=4))
-    return WebSpec(seed=seed, hosts=hosts)
+    hosts.append(HostSpec("hot.example", "lazy", listings=1,
+                          albums=hot_albums or 10 * max(1, scale),
+                          pages=2, imgs=4))
+    return WebSpec(seed=seed, hosts=hosts, img_scale=img_scale)
 
 
 def site_config(spec: WebSpec) -> list[dict]:
@@ -181,8 +184,9 @@ class SynthWeb:
         name = path.rsplit("/", 1)[-1].split("?")[0]
         seed = _h(self.spec.seed, "img", url)
         rng = np.random.default_rng(seed)
-        w = 8 * (1 + seed % 5)
-        h = 8 * (1 + (seed >> 8) % 4)
+        m = max(1, self.spec.img_scale)
+        w = 8 * m * (1 + seed % 5)
+        h = 8 * m * (1 + (seed >> 8) % 4)
         base = rng.integers(0, 255, (-(-h // 8), -(-w // 8), 3)).astype(np.float64)
         img = np.kron(base, np.ones((8, 8, 1)))[:h, :w]
         img = np.clip(img + rng.normal(0, 6, img.shape), 0, 255).astype(np.uint8)

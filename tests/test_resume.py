@@ -77,3 +77,38 @@ def test_robots_exclusion(ray_session, tmp_path):
     import ray
     sts = ray.get([s.stats.remote() for s in cr.scheds])
     assert sum(s["rejected"] for s in sts) == 1
+
+
+def test_distributed_release_path_parity(ray_session, tmp_path):
+    """Force the groupby(host) release path (threshold=0) — results must
+    equal the driver-side path / the oracle."""
+    spec = _small_spec()
+    sd = [s for s in seeds(default_spec(scale=1))
+          if any(h.name in s for h in spec.hosts)]
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(sd)
+    cfg = _cfg(str(tmp_path / "d"), spec)
+    cfg.release_driver_threshold = 0
+    cr = Crawler(cfg)
+    cr.seed(sd)
+    cr.run()
+    assert cr.visit_order() == ref.visit_order
+    assert cr.seen_urls() == ref.seen
+
+
+def test_actor_stage_mode_parity(ray_session, tmp_path):
+    """Actor-pool stage mode (heavy-state path) must match the oracle
+    just like the default task mode."""
+    spec = _small_spec()
+    sd = [s for s in seeds(default_spec(scale=1))
+          if any(h.name in s for h in spec.hosts)]
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(sd)
+    cfg = _cfg(str(tmp_path / "a"), spec)
+    cfg.stage_mode = "actor"
+    cfg.fetch_concurrency = 2
+    cfg.img_concurrency = 2
+    cr = Crawler(cfg)
+    cr.seed(sd)
+    cr.run()
+    assert cr.visit_order() == ref.visit_order
+    got = {r["image_id"]: r["bytes"] for r in cr.images_table().to_pylist()}
+    assert got == {k: v["bytes"] for k, v in ref.images.items()}
