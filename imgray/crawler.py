@@ -599,17 +599,21 @@ class Crawler:
                 )
             frag_rows = frags.take_all()
 
-        # next frontier = deferred ∪ novel links
-        nxt_rows = []
-        for r in links.to_pylist():
-            nxt_rows.append({"url": r["url"], "host": r["host"],
-                             "depth": r["depth"], "kind": r["kind"],
-                             "priority": 0, "seq": r["seq"], "round": rnd + 1})
-        for r in deferred.to_pylist():
-            nxt_rows.append({"url": r["url"], "host": r["host"],
-                             "depth": r["depth"], "kind": r["kind"],
-                             "priority": 0, "seq": r["seq"], "round": rnd + 1})
-        nxt = S.table_from_rows(S.FRONTIER, nxt_rows)
+        # next frontier = deferred ∪ novel links (vectorized: no python
+        # row loops on the driver)
+        def _to_frontier(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "url": t.column("url"), "host": t.column("host"),
+                "depth": pc.cast(t.column("depth"), pa.int32()),
+                "kind": t.column("kind"),
+                "priority": pa.nulls(n, pa.int32()).fill_null(0),
+                "seq": t.column("seq"),
+                "round": pa.nulls(n, pa.int32()).fill_null(rnd + 1),
+            }, schema=S.FRONTIER)
+
+        nxt = pa.concat_tables([_to_frontier(links),
+                                _to_frontier(deferred)])
         fdir = self._rdir(rnd + 1, "frontier")
         pq.write_table(nxt, os.path.join(fdir, "part-0.parquet"))
 

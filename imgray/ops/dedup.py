@@ -350,3 +350,80 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding",
     return pa.table({"a": pa.array([k[0] for k in ks], type=pa.int64()),
                      "b": pa.array([k[1] for k in ks], type=pa.int64()),
                      "cos": pa.array([seen[k] for k in ks], type=pa.float64())})
+
+
+# ----------------------------------------------------------- pHash dedup
+
+def phash_exact_dedup(images_ds, id_col: str = "image_id"):
+    """Exact perceptual-hash dedup over an images table: hash-partition
+    by the 64-bit pHash, keep the lexicographically-first image id per
+    group (north rule: groupby('phash') keep-first)."""
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column(id_col).to_pylist())
+        return pa.table({
+            "phash": pa.array([g.column("phash")[0].as_py()],
+                              type=pa.int64()),
+            "keeper": pa.array([ids[0]], type=pa.string()),
+            "dups": pa.array([g.num_rows - 1], type=pa.int64()),
+        })
+
+    return (images_ds.select_columns([id_col, "phash"])
+            .groupby("phash")
+            .map_groups(keep_first, batch_format="pyarrow"))
+
+
+def phash_neardup_pairs(images_ds, id_col: str = "image_id",
+                        max_hamming: int = 6):
+    """Near-duplicate images via pHash banding: any two 64-bit hashes
+    within Hamming distance ≤ (bands-1) share at least one exact
+    16-bit band → bucket groupby + per-bucket Hamming verify (same
+    partitioning argument as SimHash; 4 bands ⇒ guaranteed recall for
+    distance ≤ 3, probabilistic above)."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        out = {"id": [], "key": [], "ph": []}
+        for iid, ph in zip(batch.column(id_col).to_pylist(),
+                           batch.column("phash").to_pylist()):
+            u = ph & ((1 << 64) - 1)
+            for bi in range(4):
+                out["id"].append(iid)
+                out["key"].append((bi << 16) | ((u >> (16 * bi)) & 0xFFFF))
+                out["ph"].append(ph)
+        return pa.table({"id": pa.array(out["id"], type=pa.string()),
+                         "key": pa.array(out["key"], type=pa.int64()),
+                         "ph": pa.array(out["ph"], type=pa.int64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("id").to_pylist()
+        phs = g.column("ph").to_pylist()
+        pa_, pb_, pd_ = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = hamming64(phs[i], phs[j])
+                if d <= max_hamming:
+                    x, y = sorted((ids[i], ids[j]))
+                    pa_.append(x)
+                    pb_.append(y)
+                    pd_.append(d)
+        return pa.table({"a": pa.array(pa_, type=pa.string()),
+                         "b": pa.array(pb_, type=pa.string()),
+                         "dist": pa.array(pd_, type=pa.int64())})
+
+    pairs = (images_ds.select_columns([id_col, "phash"])
+             .map_batches(sigs, batch_format="pyarrow")
+             .groupby("key")
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                        ("dist", pa.int64())])
+    t = _collect_pairs(pairs, schema)
+    seen = {}
+    for r in t.to_pylist():
+        seen[(r["a"], r["b"])] = r["dist"]
+    ks = sorted(seen)
+    return pa.table({"a": pa.array([k[0] for k in ks], type=pa.string()),
+                     "b": pa.array([k[1] for k in ks], type=pa.string()),
+                     "dist": pa.array([seen[k] for k in ks],
+                                      type=pa.int64())})

@@ -416,6 +416,24 @@ def q_image_features(sf_dir: str):
                                    concurrency=(1, 2), batch_size=32))
 
 
+
+
+def q_phash_exact_dedup(sf_dir: str):
+    """Rows-only: exact pHash dedup over the crawled images table."""
+    from ..ops.dedup import phash_exact_dedup
+
+    cr = run_flagship_crawl()
+    return _collect(phash_exact_dedup(cr.sink.to_ray()))
+
+
+def q_phash_neardup(sf_dir: str):
+    """Rows-only: banded pHash near-dup pairs over the crawled images."""
+    from ..ops.dedup import phash_neardup_pairs
+
+    cr = run_flagship_crawl()
+    return phash_neardup_pairs(cr.sink.to_ray(), max_hamming=6)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -444,6 +462,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "crawl_images": q_crawl_images,
     "image_features": q_image_features,
+    "phash_exact_dedup": q_phash_exact_dedup,
+    "phash_neardup": q_phash_neardup,
 }
 
 ORACLE_SQL = {

@@ -180,3 +180,38 @@ def test_media_stages(ray_session):
                            concurrency=1).take_all()
     assert len(vf) == 4
     assert C.sniff_format(vf[0]["frame_png"]) == "png"
+
+
+def test_phash_dedup_ops(ray_session):
+    import ray.data
+    from imgray import codecs as C
+    from imgray.ops.dedup import phash_exact_dedup, phash_neardup_pairs
+
+    rng = np.random.default_rng(9)
+    base = np.kron(rng.integers(0, 255, (8, 8, 3)),
+                   np.ones((8, 8, 1))).astype(np.uint8)
+    jig = np.clip(base.astype(int) + rng.integers(-2, 3, base.shape),
+                  0, 255).astype(np.uint8)  # near-dup: tiny noise
+    other = np.kron(rng.integers(0, 255, (8, 8, 3)),
+                    np.ones((8, 8, 1))).astype(np.uint8)
+    rows = [
+        {"image_id": "a/one.png", "phash": C.phash64(base)},
+        {"image_id": "a/two.png", "phash": C.phash64(base)},   # exact dup
+        {"image_id": "a/near.png", "phash": C.phash64(jig)},   # near dup
+        {"image_id": "b/other.png", "phash": C.phash64(other)},
+    ]
+    ds = ray.data.from_items(rows)
+    exact = phash_exact_dedup(ds).take_all()
+    # ground truth: group sizes by identical phash
+    from collections import Counter
+    want_groups = Counter(r["phash"] for r in rows)
+    got = {r["phash"]: r["dups"] for r in exact}
+    assert got == {ph: n - 1 for ph, n in want_groups.items()}
+    # the keeper is the lexicographically-first id of its group
+    for r in exact:
+        members = sorted(x["image_id"] for x in rows if x["phash"] == r["phash"])
+        assert r["keeper"] == members[0]
+    near = phash_neardup_pairs(ds, max_hamming=8).to_pylist()
+    got = {(r["a"], r["b"]) for r in near}
+    assert ("a/near.png", "a/one.png") in got or ("a/one.png", "a/near.png") in got
+    assert not any("b/other.png" in p for p in got)
