@@ -190,12 +190,20 @@ def parse_page_task(batch: pa.Table, fetcher_factory, client_key: str,
                             site_cfg)
 
 
-def gate_batch(batch: pa.Table, seen: ShardedSeen) -> pa.Table:
+def gate_batch(batch: pa.Table, seen: ShardedSeen,
+               spill_dir: str | None = None, rnd: int = 0) -> pa.Table:
     """Seen-set gate: one batched actor round-trip per shard per batch.
 
     link rows: kept iff 'u:'+url novel; img rows: 'u:'+url inserted,
     kept iff 'i:'+album|url|caption novel; seen rows: inserted, dropped;
-    page rows: pass through."""
+    page rows: pass through.
+
+    With ``spill_dir`` set (single-streaming-execution mode), kept
+    page/link rows are also written to a parquet side file so the
+    driver can build the next frontier without a materialize barrier —
+    the img rows continue downstream into the fused image stage while
+    later pages are still being fetched (full fetch/decode overlap).
+    """
     if batch.num_rows == 0:
         return batch
     rows = batch.to_pylist()
@@ -222,7 +230,18 @@ def gate_batch(batch: pa.Table, seen: ShardedSeen) -> pa.Table:
         elif gk == "img":
             keep[i] = nv
     kept = [r for i, r in enumerate(rows) if keep[i]]
-    return S.table_from_rows(EXTRACT, kept)
+    out = S.table_from_rows(EXTRACT, kept)
+    if spill_dir is not None:
+        side = out.filter(pc.is_in(out.column("row_kind"),
+                                   value_set=pa.array(["page", "link"])))
+        if side.num_rows:
+            name = hashlib.blake2b(
+                "|".join(side.column("seq").to_pylist()).encode(),
+                digest_size=8).hexdigest()
+            tmp = os.path.join(spill_dir, f".tmp-{name}")
+            pq.write_table(side, tmp)
+            os.replace(tmp, os.path.join(spill_dir, f"ex-{rnd}-{name}.parquet"))
+    return out
 
 
 def image_batch(batch: pa.Table, fetch, store_data_uris: bool) -> pa.Table:
@@ -528,45 +547,63 @@ class Crawler:
                 partial(parse_page_task, fetcher_factory=cfg.fetcher_factory,
                         client_key=self._client_key, site_cfg=cfg.site_cfg),
                 batch_format="pyarrow", batch_size=cfg.fetch_batch)
-        extract = (
-            fetched
-            .map_batches(partial(gate_batch, seen=self.seen),
-                         batch_format="pyarrow")
-            .materialize()
-        )
-        ex_tbl = pa.concat_tables(
-            [ray.get(r) for r in extract.to_arrow_refs()],
-            promote_options="default",
-        )
-        if ex_tbl.num_rows == 0:
-            ex_tbl = EXTRACT.empty_table()
-        pages = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "page"))
-        links = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "link"))
-        imgs = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "img"))
-
-        # image fetch → decode → per-round min-seq dedup → written gate →
-        # distributed fragment write
+        data_dir = self.sink.data_dir
+        pipelined = (cfg.stage_mode != "actor"
+                     and not cfg.strict_name_dedup)
         frag_rows: list[dict] = []
-        if imgs.num_rows:
-            data_dir = self.sink.data_dir
-            if cfg.stage_mode != "actor" and not cfg.strict_name_dedup:
-                # fused hot path chained off the cached extract blocks:
-                # filter img rows + decode→gate→write in one task per
-                # block — image bytes never reach the driver and never
-                # re-enter the object store between sub-steps
-                def _imgs_only(b: pa.Table) -> pa.Table:
-                    return b.filter(pc.equal(b.column("row_kind"), "img"))
+        if pipelined:
+            # single streaming execution per round: fetch+extract, gate
+            # (spilling page/link rows to parquet side files) and the
+            # fused image decode→gate→write all overlap — pages are
+            # still being fetched while earlier pages' images decode
+            spill_dir = self._rdir(rnd + 1, "extract")
+            for f in os.listdir(spill_dir):  # stale files from a crash
+                os.unlink(os.path.join(spill_dir, f))
 
-                frags = extract.map_batches(
-                    _imgs_only, batch_format="pyarrow"
-                ).map_batches(
+            def _imgs_only(b: pa.Table) -> pa.Table:
+                return b.filter(pc.equal(b.column("row_kind"), "img"))
+
+            frag_rows = (
+                fetched
+                .map_batches(partial(gate_batch, seen=self.seen,
+                                     spill_dir=spill_dir, rnd=rnd),
+                             batch_format="pyarrow")
+                .map_batches(_imgs_only, batch_format="pyarrow")
+                .map_batches(
                     partial(image_sink_task,
                             fetcher_factory=cfg.fetcher_factory,
                             client_key=self._client_key,
                             store_data_uris=cfg.store_data_uris,
                             seen=self.seen, data_dir=data_dir, rnd=rnd),
                     batch_format="pyarrow", batch_size=cfg.img_batch)
-            else:
+                .take_all()
+            )
+            spilled = [os.path.join(spill_dir, f)
+                       for f in sorted(os.listdir(spill_dir))
+                       if f.endswith(".parquet")]
+            ex_tbl = (pa.concat_tables([pq.read_table(p) for p in spilled])
+                      if spilled else EXTRACT.empty_table())
+        else:
+            extract = (
+                fetched
+                .map_batches(partial(gate_batch, seen=self.seen),
+                             batch_format="pyarrow")
+                .materialize()
+            )
+            ex_tbl = pa.concat_tables(
+                [ray.get(r) for r in extract.to_arrow_refs()],
+                promote_options="default",
+            )
+            if ex_tbl.num_rows == 0:
+                ex_tbl = EXTRACT.empty_table()
+        pages = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "page"))
+        links = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "link"))
+        imgs = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "img"))
+
+        # non-pipelined: image fetch → decode → (strict min-seq dedup) →
+        # written gate → distributed fragment write
+        if not pipelined and imgs.num_rows:
+            if True:
                 img_ds = ray.data.from_arrow(imgs)
                 nbi = max(1, min(4 * cfg.img_concurrency,
                                  -(-imgs.num_rows // cfg.img_batch)))
