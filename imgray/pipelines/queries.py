@@ -434,6 +434,92 @@ def q_phash_neardup(sf_dir: str):
     return phash_neardup_pairs(cr.sink.to_ray(), max_hamming=6)
 
 
+
+
+# ----------------------------------------------- windowed / as-of joins
+
+def q_sessionize(sf_dir: str):
+    """Sessionization (30-min inactivity gap) — the streaming-window
+    class of operator, expressed as groupby(user).map_groups with an
+    in-group sort; SQL oracle uses window functions."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sess(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        gaps = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            dt = (ts[1:] - ts[:-1]) / np.timedelta64(1, "s")
+            gaps[1:] = (dt > 1800).astype(np.int64)
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "event_id": g.column("event_id"),
+            "session_no": pa.array(np.cumsum(gaps), type=pa.int64()),
+        })
+
+    return _collect(ds.groupby("user_id").map_groups(sess,
+                                                     batch_format="pyarrow"))
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running total (ordered cumulative window)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def run(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        cents = _cents(g.column("value")).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "event_id": g.column("event_id"),
+            "run_cents": pa.array(np.cumsum(cents), type=pa.int64()),
+        })
+
+    return _collect(ds.groupby("user_id").map_groups(run,
+                                                     batch_format="pyarrow"))
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each event matched to the latest order of the same
+    customer key at-or-before the event time.  Small side (orders,
+    sorted per key) broadcast once; per-batch vectorized searchsorted —
+    no shuffle (the custom-operator pattern from the brief)."""
+    orders = _collect(_read(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey", "o_orderdate"]))
+    by_cust: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    ck = orders.column("o_custkey").to_numpy(zero_copy_only=False)
+    od = orders.column("o_orderdate").to_numpy(zero_copy_only=False)
+    ok = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
+    order_idx = np.lexsort((-ok, od, ck))  # min orderkey wins ties
+    ck, od, ok = ck[order_idx], od[order_idx], ok[order_idx]
+    bounds = np.searchsorted(ck, np.unique(ck), side="left").tolist() + [len(ck)]
+    for i, cust in enumerate(np.unique(ck)):
+        sl = slice(bounds[i], bounds[i + 1])
+        by_cust[int(cust)] = (od[sl], ok[sl])
+    bref = ray.put(by_cust)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(bref)
+        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        eids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        out_e, out_o = [], []
+        for uid, t, eid in zip(uids, ts, eids):
+            ent = m.get(int(uid))
+            if ent is None:
+                continue
+            dates, keys = ent
+            pos = np.searchsorted(dates, t, side="right") - 1
+            if pos < 0:
+                continue
+            out_e.append(int(eid))
+            out_o.append(int(keys[pos]))
+        return pa.table({"event_id": pa.array(out_e, type=pa.int64()),
+                         "o_orderkey": pa.array(out_o, type=pa.int64())})
+
+    return _collect(_read(sf_dir, "events", ["event_id", "user_id", "ts"])
+                    .map_batches(partial, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -451,6 +537,9 @@ QUERIES = {
     "lang_dist": q_lang_dist,
     "exact_dedup_docs": q_exact_dedup_docs,
     "token_counts": q_token_counts,
+    "sessionize": q_sessionize,
+    "running_total": q_running_total,
+    "asof_join": q_asof_join,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -523,6 +612,35 @@ ORACLE_SQL = {
         SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper,
                count(*) - 1 AS dups
         FROM documents GROUP BY md5(text)""",
+    "sessionize": """
+        SELECT user_id, event_id,
+               CAST(sum(CASE WHEN gap THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS session_no
+        FROM (SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE AS gap
+              FROM events) t""",
+    "running_total": """
+        SELECT user_id, event_id,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS run_cents
+        FROM events""",
+    "asof_join": """
+        SELECT e.event_id, o.o_orderkey
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+                              WHERE o2.o_custkey = e.user_id
+                                AND o2.o_orderdate <= e.ts)
+         AND o.o_orderkey = (SELECT min(o3.o_orderkey) FROM orders o3
+                             WHERE o3.o_custkey = e.user_id
+                               AND o3.o_orderdate = o.o_orderdate)""",
     "token_counts": r"""
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
