@@ -113,16 +113,27 @@ class CuckooFilter:
 class SeenShard:
     """One shard of the global seen set (cuckoo gate + exact backing)."""
 
+    MEMO_CAP = 1024  # retried-task replay window per shard
+
     def __init__(self, capacity: int = 1 << 18):
         self.cf = CuckooFilter(capacity)
         self.exact: set[str] = set()
         self.delta: list[str] = []  # novel keys since last drain (checkpoint)
+        # batch_id → verdicts: makes gate calls idempotent so a Ray task
+        # retry replays the SAME novelty verdicts instead of seeing its
+        # own earlier inserts as duplicates (rows would silently drop)
+        self.memo: dict[str, list[bool]] = {}
+        self.memo_order: list[str] = []
 
-    def check_and_insert(self, keys: list[str]) -> list[bool]:
+    def check_and_insert(self, keys: list[str],
+                         batch_id: str | None = None) -> list[bool]:
         """For each key: True iff novel (now inserted).  The cuckoo
         filter short-circuits the common novel case; positives verify
         against the exact set (false-positive rate ~3% never drops a
-        URL)."""
+        URL).  With ``batch_id``, the call is idempotent (replayed
+        verbatim on task retry)."""
+        if batch_id is not None and batch_id in self.memo:
+            return self.memo[batch_id]
         out = []
         for k in keys:
             h = _hash64(k)
@@ -133,6 +144,12 @@ class SeenShard:
                 self.exact.add(k)
                 self.delta.append(k)
                 out.append(True)
+        if batch_id is not None:
+            self.memo[batch_id] = out
+            self.memo_order.append(batch_id)
+            if len(self.memo_order) > self.MEMO_CAP:
+                old = self.memo_order.pop(0)
+                self.memo.pop(old, None)
         return out
 
     def restore(self, keys: list[str]) -> int:
@@ -168,12 +185,38 @@ class ShardedSeen:
             by.setdefault(s, []).append(idx)
         return by
 
+    @staticmethod
+    def _task_scope() -> str | None:
+        """Stable-across-retries identity of the calling Ray task (None
+        on the driver / outside a task)."""
+        try:
+            tid = ray.get_runtime_context().get_task_id()
+            return tid if tid else None
+        except Exception:
+            return None
+
     def check_and_insert(self, keys: list[str]) -> list[bool]:
+        """Batched membership-insert.  Inside a Ray task the call is
+        idempotent under task retry: the memo key combines the task id
+        (stable across attempts) with the sub-batch content hash, so a
+        retried task replays its original novelty verdicts while
+        distinct tasks (or distinct batches within one task) never
+        collide."""
         if not keys:
             return []
+        scope = self._task_scope()
         by = self._route(keys)
-        futs = {s: self.shards[s].check_and_insert.remote([keys[i] for i in idxs])
-                for s, idxs in by.items()}
+        futs = {}
+        for s, idxs in by.items():
+            sub = [keys[i] for i in idxs]
+            bid = None
+            if scope is not None:
+                h = hashlib.blake2b(scope.encode(), digest_size=12)
+                for k in sub:
+                    h.update(k.encode())
+                    h.update(b"\x00")
+                bid = h.hexdigest()
+            futs[s] = self.shards[s].check_and_insert.remote(sub, bid)
         out = [False] * len(keys)
         for s, idxs in by.items():
             for i, novel in zip(idxs, ray.get(futs[s])):

@@ -74,3 +74,24 @@ def test_robots_parsing():
     assert not robots_allowed("/private/x", rules)
     assert not robots_allowed("/tmp", rules)
     assert robots_allowed("/", parse_robots(""))
+
+
+def test_gate_idempotent_replay(ray_session):
+    """A retried task must replay its original novelty verdicts (memoed
+    by task-id + batch content), while driver-side repeat calls see
+    normal duplicate semantics."""
+    import ray
+    from imgray.state.cuckoo import SeenShard
+
+    shard = SeenShard.remote()
+    keys = [f"u:k{i}" for i in range(10)]
+    first = ray.get(shard.check_and_insert.remote(keys, "batch-1"))
+    assert all(first)
+    # same batch_id (task retry) → identical verdicts, no state change
+    replay = ray.get(shard.check_and_insert.remote(keys, "batch-1"))
+    assert replay == first
+    # a DIFFERENT batch with the same keys → duplicates detected
+    second = ray.get(shard.check_and_insert.remote(keys, "batch-2"))
+    assert not any(second)
+    st = ray.get(shard.stats.remote())
+    assert st["exact"] == 10
