@@ -661,13 +661,40 @@ class Crawler:
         self._write_seen_delta(rnd + 1)
         n_images = sum(r["rows"] for r in frag_rows)
         n_bytes = sum(r["nbytes"] for r in frag_rows)
-        lineage = S.table_from_rows(S.LINEAGE, [{
-            "partition_id": 0, "round": rnd + 1,
+        # per-partition lineage (north rule): partition = hash(host) % P;
+        # urls_in / fetched / extracted-images counted per partition
+        # (vectorized), plus a round-total row (partition_id = -1) that
+        # carries the authoritative stored-image/byte counts
+        t_end = int(time.time() * 1e6)
+
+        def _bucket(t: pa.Table) -> dict[int, int]:
+            if t.num_rows == 0:
+                return {}
+            hosts = t.column("host").to_pylist()
+            out: dict[int, int] = {}
+            for h in hosts:
+                b = int.from_bytes(hashlib.blake2b(
+                    h.encode(), digest_size=2).digest(), "big") % 16
+                out[b] = out.get(b, 0) + 1
+            return out
+
+        per_in = _bucket(rel_tbl)
+        per_pages = _bucket(pages)
+        per_imgs = _bucket(imgs)
+        lrows = [{
+            "partition_id": -1, "round": rnd + 1,
             "urls_in": rel_tbl.num_rows, "fetched": pages.num_rows,
             "images": n_images, "bytes": n_bytes,
-            "t_start": int(t0 * 1e6), "t_end": int(time.time() * 1e6),
-        }])
-        pq.write_table(lineage,
+            "t_start": int(t0 * 1e6), "t_end": t_end,
+        }]
+        for b in sorted(set(per_in) | set(per_pages) | set(per_imgs)):
+            lrows.append({
+                "partition_id": b, "round": rnd + 1,
+                "urls_in": per_in.get(b, 0), "fetched": per_pages.get(b, 0),
+                "images": per_imgs.get(b, 0), "bytes": 0,
+                "t_start": int(t0 * 1e6), "t_end": t_end,
+            })
+        pq.write_table(S.table_from_rows(S.LINEAGE, lrows),
                        os.path.join(self._rdir(rnd + 1, ""), "lineage.parquet"))
         self.sink.commit([r["path"] for r in frag_rows],
                          meta={"round": rnd + 1, "ckpt": self.ckpt})

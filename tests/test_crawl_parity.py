@@ -78,8 +78,14 @@ def test_stats_and_lineage(engine):
     assert stats["pages"] == 47
     assert stats["images"] == len(cr.images_table())
     lt = cr.lineage_table().to_pylist()
-    assert sum(r["fetched"] for r in lt) == stats["pages"]
-    assert sum(r["images"] for r in lt) == stats["images"]
+    totals = [r for r in lt if r["partition_id"] == -1]
+    parts = [r for r in lt if r["partition_id"] >= 0]
+    assert sum(r["fetched"] for r in totals) == stats["pages"]
+    assert sum(r["images"] for r in totals) == stats["images"]
+    # per-partition rows reconcile with the round totals
+    assert sum(r["fetched"] for r in parts) == stats["pages"]
+    assert sum(r["urls_in"] for r in parts) == sum(r["urls_in"] for r in totals)
+    assert len({r["partition_id"] for r in parts}) > 1  # really partitioned
     assert all(r["t_end"] >= r["t_start"] for r in lt)
 
 
