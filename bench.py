@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "minhash_pairs",       # LSH shuffle
     "ann_topk",            # broadcast matmul scan
     "langid",              # per-doc python-in-batch
+    "sessionize",          # windowed op (groupby.map_groups)
+    "asof_join",           # broadcast as-of join
 ]
 
 CRAWL_SCALE = int(os.environ.get("IMGRAY_BENCH_CRAWL_SCALE", "3"))

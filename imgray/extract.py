@@ -114,13 +114,23 @@ def parse_page(html: str, addr: str, cfg_entry: dict | None) -> PageParse:
     # image-URL loop (ref :262-314)
     urls: dict[str, None] = {}
     for elm in html_img:
+        # srcset candidates (north-star addition; additive to the
+        # reference's single-attr read)
+        srcset = elm.attr("srcset")
+        if srcset:
+            for u in U.parse_srcset(srcset):
+                if not u.startswith("data:image/"):
+                    urls.setdefault(U.canonicalize(u, addr))
+                else:
+                    urls.setdefault(u)
         value = None
         for a in (*U.LAZY_ATTRS, attr):
             value = elm.attr(a)
             if value is not None:
                 break
         if value is None:
-            empty_dup += 1
+            if not srcset:
+                empty_dup += 1
             continue
         if attr == "style":
             frag = None

@@ -485,34 +485,33 @@ def q_asof_join(sf_dir: str):
     no shuffle (the custom-operator pattern from the brief)."""
     orders = _collect(_read(sf_dir, "orders",
                             ["o_orderkey", "o_custkey", "o_orderdate"]))
-    by_cust: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     ck = orders.column("o_custkey").to_numpy(zero_copy_only=False)
     od = orders.column("o_orderdate").to_numpy(zero_copy_only=False)
     ok = orders.column("o_orderkey").to_numpy(zero_copy_only=False)
     order_idx = np.lexsort((-ok, od, ck))  # min orderkey wins ties
-    ck, od, ok = ck[order_idx], od[order_idx], ok[order_idx]
-    bounds = np.searchsorted(ck, np.unique(ck), side="left").tolist() + [len(ck)]
-    for i, cust in enumerate(np.unique(ck)):
-        sl = slice(bounds[i], bounds[i + 1])
-        by_cust[int(cust)] = (od[sl], ok[sl])
-    bref = ray.put(by_cust)
+    # three flat arrays broadcast once (zero-copy object-store reads;
+    # a dict of per-key slices serializes ~100x slower)
+    ck, od, ok = ck[order_idx], od[order_idx].astype("int64"), ok[order_idx]
+    bref = ray.put((ck, od, ok))
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = ray.get(bref)
+        cks, ods, oks = ray.get(bref)
         uids = batch.column("user_id").to_numpy(zero_copy_only=False)
-        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("int64")
         eids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        # vectorized per-key range bounds
+        lo = np.searchsorted(cks, uids, side="left")
+        hi = np.searchsorted(cks, uids, side="right")
         out_e, out_o = [], []
-        for uid, t, eid in zip(uids, ts, eids):
-            ent = m.get(int(uid))
-            if ent is None:
+        for i in range(len(uids)):
+            a, b = lo[i], hi[i]
+            if a == b:
                 continue
-            dates, keys = ent
-            pos = np.searchsorted(dates, t, side="right") - 1
-            if pos < 0:
+            pos = a + np.searchsorted(ods[a:b], ts[i], side="right") - 1
+            if pos < a:
                 continue
-            out_e.append(int(eid))
-            out_o.append(int(keys[pos]))
+            out_e.append(int(eids[i]))
+            out_o.append(int(oks[pos]))
         return pa.table({"event_id": pa.array(out_e, type=pa.int64()),
                          "o_orderkey": pa.array(out_o, type=pa.int64())})
 

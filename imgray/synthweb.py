@@ -246,6 +246,9 @@ class SynthWeb:
                     imgs.append(f'<img src="{u}">')
             imgs.append(f'<img src="{_tiny_png_data_uri()}">')
             imgs.append('<img alt="no source">')  # empty → counted skip
+            imgs.append(  # srcset candidates (north-star extraction)
+                f'<img srcset="/img/{hid}-ss1.png 1x, '
+                f'https://{CDN}/img/{hid}-ss2.png 2x">')
             imgs.append(f'<img src="{self._img_url(h.name, "a0", 1, 0)}">')  # dup
             body = "\n".join(imgs)
         else:

@@ -380,6 +380,22 @@ def next_page_numeric(addr: str) -> str:
     return f"{base}/{num + 1}"
 
 
+def parse_srcset(value: str) -> list[str]:
+    """Parse a ``srcset`` attribute into its candidate URLs, in
+    document order (north-star addition — the reference reads only
+    src/data-src*, src/main.rs:265-268; srcset grammar is public HTML:
+    comma-separated candidates, each ``url [descriptor]``)."""
+    out: list[str] = []
+    for cand in value.split(","):
+        cand = cand.strip()
+        if not cand:
+            continue
+        url = cand.split()[0] if cand.split() else ""
+        if url and url not in out:
+            out.append(url)
+    return out
+
+
 def caption_if_image_ext(value: str | None) -> str | None:
     """title/alt caption gate: non-empty and final dot-suffix is an image
     extension, case-insensitive (ref :342-359)."""

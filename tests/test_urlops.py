@@ -185,3 +185,12 @@ def test_canonicalize_total(url, addr):
 def test_url_image_total(s):
     r = U.url_image(s)
     assert r is None or isinstance(r, str)
+
+
+def test_parse_srcset():
+    assert U.parse_srcset("/a.jpg 1x, /b.jpg 2x") == ["/a.jpg", "/b.jpg"]
+    assert U.parse_srcset("https://c.com/x.png 480w,https://c.com/y.png 800w") == \
+        ["https://c.com/x.png", "https://c.com/y.png"]
+    assert U.parse_srcset("/only.png") == ["/only.png"]
+    assert U.parse_srcset(" , /a.png 1x, , /a.png 2x") == ["/a.png"]
+    assert U.parse_srcset("") == []
