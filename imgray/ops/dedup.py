@@ -90,27 +90,93 @@ _PAIR_COS = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                        ("cos", pa.float64())])
 
 
+
+def coarse_partition_groups(ds, key_col: str, per_partition_fn,
+                            num_partitions: int = 64):
+    """groupby-by-key with MANY tiny groups: dispatching one map_groups
+    task per group is the bottleneck, so group on a coarse hash
+    partition instead and process the key-runs inside each partition
+    (sort by key, then iterate contiguous runs).  ``per_partition_fn``
+    receives the partition table sorted by ``key_col``."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        parts = [int.from_bytes(
+            hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
+            "big") % num_partitions for k in keys]
+        return batch.append_column("_part", pa.array(parts, type=pa.int32()))
+
+    def run(part: pa.Table) -> pa.Table:
+        return per_partition_fn(part.drop_columns(["_part"])
+                                .sort_by(key_col))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("_part")
+              .map_groups(run, batch_format="pyarrow"))
+
+
+def _key_runs(sorted_keys: list):
+    """Yield (start, end) index runs of equal keys in a sorted list."""
+    i, n = 0, len(sorted_keys)
+    while i < n:
+        j = i + 1
+        while j < n and sorted_keys[j] == sorted_keys[i]:
+            j += 1
+        yield i, j
+        i = j
+
+
 # ------------------------------------------------------------ exact dedup
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """hash-partition by content hash, keep min id per group.
-    Returns Dataset[{hash, keeper, dups}]."""
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                hash_fn=None, num_partitions: int = 64):
+    """Exact content dedup: per-block partial (vectorized group_by on
+    the content hash) then hash-partitioned final combine — never one
+    task per group.  Returns Dataset[{hash, keeper, dups}]."""
+    hash_fn = hash_fn or (lambda t: hashlib.sha1(t.encode()).hexdigest())
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.sha1(t.encode()).hexdigest()
-              for t in batch.column(text_col).to_pylist()]
-        return pa.table({ "hash": pa.array(hs),
-                          id_col: batch.column(id_col)})
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = [hash_fn(t) for t in batch.column(text_col).to_pylist()]
+        t = pa.table({"hash": pa.array(hs), id_col: batch.column(id_col)})
+        g = t.group_by("hash").aggregate([(id_col, "min"), (id_col, "count")])
+        return pa.table({"hash": g.column("hash"),
+                         "min_id": g.column(f"{id_col}_min"),
+                         "cnt": pc.cast(g.column(f"{id_col}_count"),
+                                        pa.int64())})
 
-    def keep_first(g: pa.Table) -> pa.Table:
-        ids = pc.min(g.column(id_col)).as_py()
-        return pa.table({"hash": [g.column("hash")[0].as_py()],
-                         "keeper": pa.array([ids], type=pa.int64()),
-                         "dups": pa.array([g.num_rows - 1], type=pa.int64())})
+    def final(part: pa.Table) -> pa.Table:
+        g = part.group_by("hash").aggregate([("min_id", "min"),
+                                             ("cnt", "sum")])
+        return pa.table({
+            "hash": g.column("hash"),
+            "keeper": pc.cast(g.column("min_id_min"), pa.int64()),
+            "dups": pc.cast(pc.subtract(g.column("cnt_sum"), 1), pa.int64()),
+        })
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
-              .groupby("hash")
-              .map_groups(keep_first, batch_format="pyarrow"))
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return coarse_partition_groups(partials, "hash", final,
+                                   num_partitions)
+
+
+
+def _pairs_over_buckets(sig_ds, key_col: str, pair_fn, schema: pa.Schema,
+                        num_partitions: int = 64):
+    """Run a per-bucket pair finder over every key run inside coarse
+    hash partitions (one task per partition, not per bucket)."""
+
+    def per_part(part: pa.Table) -> pa.Table:
+        keys = part.column(key_col).to_pylist()
+        outs = []
+        for i, j in _key_runs(keys):
+            if j - i < 2:
+                continue
+            t = pair_fn(part.slice(i, j - i))
+            if t.num_rows:
+                outs.append(t)
+        return pa.concat_tables(outs) if outs else schema.empty_table()
+
+    return coarse_partition_groups(sig_ds, key_col, per_part,
+                                   num_partitions)
 
 
 # ------------------------------------------------------------ MinHash LSH
@@ -169,9 +235,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "b": pa.array(pb_, type=pa.int64()),
                          "sim": pa.array(ps_, type=pa.float64())})
 
-    pairs = (ds.map_batches(sigs, batch_format="pyarrow")
-               .groupby("key")
-               .map_groups(bucket_pairs, batch_format="pyarrow"))
+    pairs = _pairs_over_buckets(ds.map_batches(sigs, batch_format="pyarrow"),
+                                "key", bucket_pairs, _PAIR_SIM)
     t = _collect_pairs(pairs, _PAIR_SIM)
     if t.num_rows:
         # same pair can surface from several bands → dedup driver-side
@@ -272,9 +337,8 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "b": pa.array(pb_, type=pa.int64()),
                          "dist": pa.array(pd_, type=pa.int64())})
 
-    pairs = (ds.map_batches(sigs, batch_format="pyarrow")
-               .groupby("key")
-               .map_groups(bucket_pairs, batch_format="pyarrow"))
+    pairs = _pairs_over_buckets(ds.map_batches(sigs, batch_format="pyarrow"),
+                                "key", bucket_pairs, _PAIR_DIST)
     t = _collect_pairs(pairs, _PAIR_DIST)
     seen = {}
     for r in t.to_pylist():
@@ -339,9 +403,8 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding",
                          "b": pa.array(pb_, type=pa.int64()),
                          "cos": pa.array(ps_, type=pa.float64())})
 
-    pairs = (ds.map_batches(sigs, batch_format="pyarrow")
-               .groupby("key")
-               .map_groups(bucket_pairs, batch_format="pyarrow"))
+    pairs = _pairs_over_buckets(ds.map_batches(sigs, batch_format="pyarrow"),
+                                "key", bucket_pairs, _PAIR_COS)
     t = _collect_pairs(pairs, _PAIR_COS)
     seen = {}
     for r in t.to_pylist():
@@ -359,18 +422,18 @@ def phash_exact_dedup(images_ds, id_col: str = "image_id"):
     by the 64-bit pHash, keep the lexicographically-first image id per
     group (north rule: groupby('phash') keep-first)."""
 
-    def keep_first(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column(id_col).to_pylist())
+    def per_part(part: pa.Table) -> pa.Table:
+        g = part.group_by("phash").aggregate([(id_col, "min"),
+                                              (id_col, "count")])
         return pa.table({
-            "phash": pa.array([g.column("phash")[0].as_py()],
-                              type=pa.int64()),
-            "keeper": pa.array([ids[0]], type=pa.string()),
-            "dups": pa.array([g.num_rows - 1], type=pa.int64()),
+            "phash": g.column("phash"),
+            "keeper": g.column(f"{id_col}_min"),
+            "dups": pc.cast(pc.subtract(g.column(f"{id_col}_count"), 1),
+                            pa.int64()),
         })
 
-    return (images_ds.select_columns([id_col, "phash"])
-            .groupby("phash")
-            .map_groups(keep_first, batch_format="pyarrow"))
+    return coarse_partition_groups(
+        images_ds.select_columns([id_col, "phash"]), "phash", per_part)
 
 
 def phash_neardup_pairs(images_ds, id_col: str = "image_id",
@@ -412,12 +475,12 @@ def phash_neardup_pairs(images_ds, id_col: str = "image_id",
                          "b": pa.array(pb_, type=pa.string()),
                          "dist": pa.array(pd_, type=pa.int64())})
 
-    pairs = (images_ds.select_columns([id_col, "phash"])
-             .map_batches(sigs, batch_format="pyarrow")
-             .groupby("key")
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
     schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                         ("dist", pa.int64())])
+    pairs = _pairs_over_buckets(
+        images_ds.select_columns([id_col, "phash"])
+        .map_batches(sigs, batch_format="pyarrow"),
+        "key", bucket_pairs, schema)
     t = _collect_pairs(pairs, schema)
     seen = {}
     for r in t.to_pylist():

@@ -208,19 +208,25 @@ def q_supplier_balance(sf_dir: str):
 # ----------------------------------------------------- top-k / sort / set
 
 def q_top2_events_per_user(sf_dir: str):
-    """Top-k per group via groupby().map_groups (frontier-release
-    pattern: per-host priority ordering)."""
+    """Top-k per group (frontier-release pattern: per-host priority
+    ordering) as partial per-block top-k + small final combine —
+    equivalent to groupby().map_groups but without one task per group
+    (top-k is decomposable: the global top-2 of a user is within the
+    union of the per-block top-2s)."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
 
-    def top2(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("value", "descending"), ("event_id", "ascending")])
-        g = g.slice(0, 2)
-        return pa.table({"user_id": g.column("user_id"),
-                         "event_id": g.column("event_id"),
-                         "value_cents": _cents(g.column("value"))})
+    def _topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["value", "event_id"],
+                            ascending=[False, True], kind="mergesort")
+        df = df.groupby("user_id", sort=False).head(2)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    return _collect(ds.groupby("user_id").map_groups(top2,
-                                                     batch_format="pyarrow"))
+    parts = _collect(ds.map_batches(_topk, batch_format="pyarrow"))
+    final = _topk(parts)
+    return pa.table({"user_id": final.column("user_id"),
+                     "event_id": final.column("event_id"),
+                     "value_cents": _cents(final.column("value"))})
 
 
 def q_top10_orders(sf_dir: str):
