@@ -249,6 +249,8 @@ class SynthWeb:
             imgs.append(  # srcset candidates (north-star extraction)
                 f'<img srcset="/img/{hid}-ss1.png 1x, '
                 f'https://{CDN}/img/{hid}-ss2.png 2x">')
+            imgs.append(  # dead host → fetch fails; fire-and-forget
+                '<img src="https://dead.unreachable.example/x/y.png">')
             imgs.append(f'<img src="{self._img_url(h.name, "a0", 1, 0)}">')  # dup
             body = "\n".join(imgs)
         else:

@@ -112,3 +112,52 @@ def test_actor_stage_mode_parity(ray_session, tmp_path):
     assert cr.visit_order() == ref.visit_order
     got = {r["image_id"]: r["bytes"] for r in cr.images_table().to_pylist()}
     assert got == {k: v["bytes"] for k, v in ref.images.items()}
+
+
+def test_resume_after_midround_crash_debris(ray_session, tmp_path):
+    """A crash can leave uncommitted debris: orphan sink fragments,
+    stale extract-spill files, a half-written next-round frontier.
+    Resume must ignore all of it (only committed manifests count) and
+    still converge to the oracle result."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from imgray import schemas as S
+
+    spec = _small_spec()
+    sd = [s for s in seeds(default_spec(scale=1))
+          if any(h.name in s for h in spec.hosts)]
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(sd)
+
+    root = str(tmp_path / "c")
+    cr = Crawler(_cfg(root, spec))
+    cr.seed(sd)
+    cr.run_round()
+    cr.run_round()
+    crashed_round = cr.round
+
+    # simulate mid-round-3 crash debris:
+    # (a) an orphan staged fragment never referenced by any manifest
+    orphan = S.table_from_rows(S.IMAGES, [{
+        "image_id": "GARBAGE/x.png", "bytes": b"junk", "w": 0, "h": 0,
+        "fmt": "", "caption": "", "phash": 0}])
+    cr.sink.stage_fragment(orphan, "r99-orphan")
+    # (b) stale spill files in the upcoming round's extract dir
+    sp = cr._rdir(crashed_round + 1, "extract")
+    pq.write_table(
+        S.table_from_rows(S.FRONTIER, [{
+            "url": "https://bogus.example/x", "host": "bogus.example",
+            "depth": 0, "kind": "listing", "priority": 0,
+            "seq": "9999.0000", "round": 99}]),
+        os.path.join(sp, "ex-99-dead.parquet"))
+    del cr
+
+    cr2 = Crawler(_cfg(root, spec))
+    assert cr2.resume()
+    assert cr2.round == crashed_round
+    cr2.run()
+    assert cr2.visit_order() == ref.visit_order
+    assert cr2.seen_urls() == ref.seen
+    got = {r["image_id"] for r in cr2.images_table().to_pylist()}
+    assert got == set(ref.images)
+    assert "GARBAGE/x.png" not in got
