@@ -190,7 +190,10 @@ class ShardedSeen:
         """Stable-across-retries identity of the calling Ray task (None
         on the driver / outside a task)."""
         try:
-            tid = ray.get_runtime_context().get_task_id()
+            ctx = ray.get_runtime_context()
+            if getattr(ctx.worker, "mode", None) != ray.WORKER_MODE:
+                return None  # driver / actor context: no task retries
+            tid = ctx.get_task_id()
             return tid if tid else None
         except Exception:
             return None
