@@ -457,6 +457,18 @@ class Crawler:
         return sum(pq.read_metadata(p).num_rows
                    for p in self._frontier_paths(rnd))
 
+    def _save_stats(self, rnd: int, ds, section: str = "round") -> None:
+        """Persist the round's Ray Data execution stats (per-operator
+        wall/CPU/UDF time, rows, memory) next to the checkpoint —
+        the iterate-on-ds.stats() observability loop, queryable
+        after the fact."""
+        try:
+            with open(os.path.join(self._rdir(rnd, ""), "stats.txt"),
+                      "a") as f:
+                f.write(f"==== {section} ====\n{ds.stats()}\n")
+        except Exception:
+            pass  # observability only; never fail the round
+
     def _write_seen_delta(self, rnd: int) -> None:
         delta = self.seen.drain_deltas()
         pq.write_table(pa.table({"key": pa.array(delta, type=pa.string())}),
@@ -563,7 +575,7 @@ class Crawler:
             def _imgs_only(b: pa.Table) -> pa.Table:
                 return b.filter(pc.equal(b.column("row_kind"), "img"))
 
-            frag_rows = (
+            pipeline = (
                 fetched
                 .map_batches(partial(gate_batch, seen=self.seen,
                                      spill_dir=spill_dir, rnd=rnd),
@@ -576,8 +588,9 @@ class Crawler:
                             store_data_uris=cfg.store_data_uris,
                             seen=self.seen, data_dir=data_dir, rnd=rnd),
                     batch_format="pyarrow", batch_size=cfg.img_batch)
-                .take_all()
             )
+            frag_rows = pipeline.take_all()
+            self._save_stats(rnd + 1, pipeline, "pipelined round")
             spilled = [os.path.join(spill_dir, f)
                        for f in sorted(os.listdir(spill_dir))
                        if f.endswith(".parquet")]
@@ -594,6 +607,7 @@ class Crawler:
                 [ray.get(r) for r in extract.to_arrow_refs()],
                 promote_options="default",
             )
+            self._save_stats(rnd + 1, extract, "fetch+extract")
             if ex_tbl.num_rows == 0:
                 ex_tbl = EXTRACT.empty_table()
         pages = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "page"))
@@ -635,6 +649,7 @@ class Crawler:
                                  batch_format="pyarrow")
                 )
             frag_rows = frags.take_all()
+            self._save_stats(rnd + 1, frags, "image pipeline")
 
         # next frontier = deferred ∪ novel links (vectorized: no python
         # row loops on the driver)
