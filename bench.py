@@ -177,16 +177,23 @@ def main_scaling() -> None:
                    "IMGRAY_SCALING_HOT_ALBUMS", "20000"),
                IMGRAY_BENCH_IMG_SCALE=os.environ.get(
                    "IMGRAY_SCALING_IMG_SCALE", "2"))
+    repeat = int(os.environ.get("IMGRAY_SCALING_REPEAT", "2"))
     results = {}
     for n in (4, 16):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--crawl-only", "--cpus", str(n)],
-            capture_output=True, text=True, timeout=1800, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        results[n] = json.loads(line)["crawl"]
+        best = None
+        for _ in range(repeat):  # best-of-N per leg (host is noisy ±20%)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--crawl-only", "--cpus", str(n)],
+                capture_output=True, text=True, timeout=1800, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            crawl = json.loads(line)["crawl"]
+            if best is None or crawl["wall_s"] < best["wall_s"]:
+                best = crawl
+        results[n] = best
     ta, tb = results[4], results[16]
     eff = (tb["images_per_s"] / ta["images_per_s"]) / (16 / 4)
     print(json.dumps({

@@ -440,8 +440,7 @@ class Crawler:
         self.round = int(meta.get("round", 0))
         # replay seen deltas from every committed round
         for r in range(self.round + 1):
-            p = os.path.join(self.ckpt, f"round-{r:04d}", "seen.parquet")
-            if os.path.exists(p):
+            for p in self._seen_paths(r):
                 self.seen.restore(pq.read_table(p).column("key").to_pylist())
         return self._frontier_count(self.round) > 0
 
@@ -470,9 +469,16 @@ class Crawler:
             pass  # observability only; never fail the round
 
     def _write_seen_delta(self, rnd: int) -> None:
-        delta = self.seen.drain_deltas()
-        pq.write_table(pa.table({"key": pa.array(delta, type=pa.string())}),
-                       os.path.join(self._rdir(rnd, ""), "seen.parquet"))
+        # shards write their own delta files in parallel; the keys never
+        # cross the driver (O(corpus) serial cost removed)
+        self.seen.drain_deltas_to(self._rdir(rnd, ""))
+
+    def _seen_paths(self, rnd: int) -> list[str]:
+        d = os.path.join(self.ckpt, f"round-{rnd:04d}")
+        if not os.path.isdir(d):
+            return []
+        return [os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.startswith("seen") and f.endswith(".parquet")]
 
     def run(self) -> dict:
         """Crawl until the frontier drains; one atomic commit per round."""
@@ -731,8 +737,7 @@ class Crawler:
     def seen_urls(self) -> set[str]:
         out: set[str] = set()
         for r in range(self.round + 1):
-            p = os.path.join(self.ckpt, f"round-{r:04d}", "seen.parquet")
-            if os.path.exists(p):
+            for p in self._seen_paths(r):
                 for k in pq.read_table(p).column("key").to_pylist():
                     if k.startswith("u:"):
                         out.add(k[2:])

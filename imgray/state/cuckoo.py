@@ -165,6 +165,20 @@ class SeenShard:
         d, self.delta = self.delta, []
         return d
 
+    def drain_delta_to(self, path: str) -> int:
+        """Drain novel keys directly to a parquet file (actor-side,
+        parallel across shards — the delta never crosses the driver)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d, self.delta = self.delta, []
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"key": pa.array(d, type=pa.string())}), tmp)
+        import os
+
+        os.replace(tmp, path)
+        return len(d)
+
     def stats(self) -> dict:
         return {"exact": len(self.exact), "cuckoo": self.cf.count,
                 "spill": len(self.cf.spill)}
@@ -236,6 +250,16 @@ class ShardedSeen:
     def drain_deltas(self) -> list[str]:
         return [k for d in ray.get([s.drain_delta.remote() for s in self.shards])
                 for k in d]
+
+    def drain_deltas_to(self, dir_path: str, prefix: str = "seen") -> int:
+        """Each shard writes its own delta parquet in parallel."""
+        import os
+
+        return sum(ray.get([
+            s.drain_delta_to.remote(
+                os.path.join(dir_path, f"{prefix}-{i:02d}.parquet"))
+            for i, s in enumerate(self.shards)
+        ]))
 
     def stats(self) -> dict:
         sts = ray.get([s.stats.remote() for s in self.shards])
