@@ -525,6 +525,24 @@ def q_asof_join(sf_dir: str):
                     .map_batches(partial, batch_format="pyarrow"))
 
 
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic hash sampling (~1/16 of events): filter on an
+    md5-prefix of the key — reproducible across engines, no RNG state,
+    the standard scalable sampling pattern."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        keep = [hashlib.md5(str(i).encode()).hexdigest() < "1" for i in ids]
+        t = batch.filter(pa.array(keep))
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id")})
+
+    return _collect(ds.map_batches(f, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -545,6 +563,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "running_total": q_running_total,
     "asof_join": q_asof_join,
+    "hash_sample": q_hash_sample,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -635,6 +654,9 @@ ORACLE_SQL = {
                     (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
                    AS run_cents
         FROM events""",
+    "hash_sample": """
+        SELECT event_id, user_id FROM events
+        WHERE md5(CAST(event_id AS VARCHAR)) < '1'""",
     "asof_join": """
         SELECT e.event_id, o.o_orderkey
         FROM events e

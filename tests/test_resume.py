@@ -161,3 +161,22 @@ def test_resume_after_midround_crash_debris(ray_session, tmp_path):
     got = {r["image_id"] for r in cr2.images_table().to_pylist()}
     assert got == set(ref.images)
     assert "GARBAGE/x.png" not in got
+
+
+def test_pipelined_path_parity(ray_session, tmp_path):
+    """The throughput configuration (single streaming execution per
+    round: strict_name_dedup=False + task stages + gate-side spill)
+    must produce oracle-identical results on the fixture."""
+    spec = _small_spec()
+    sd = [s for s in seeds(default_spec(scale=1))
+          if any(h.name in s for h in spec.hosts)]
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(sd)
+    cfg = _cfg(str(tmp_path / "p"), spec)
+    cfg.strict_name_dedup = False
+    cr = Crawler(cfg)
+    cr.seed(sd)
+    cr.run()
+    assert cr.visit_order() == ref.visit_order
+    assert cr.seen_urls() == ref.seen
+    got = {r["image_id"]: r["bytes"] for r in cr.images_table().to_pylist()}
+    assert got == {k: v["bytes"] for k, v in ref.images.items()}
