@@ -134,3 +134,47 @@ class LanceLite:
 
     def count_rows(self, version: int | None = None) -> int:
         return sum(pq.read_metadata(p).num_rows for p in self.fragment_paths(version))
+
+
+def write_partitioned(ds, out_dir: str, key: str,
+                      schema: "pa.Schema | None" = None) -> list[str]:
+    """Resumable partitioned-parquet export: one directory per key value
+    (hive-style ``key=value/``), written from workers, atomic per file.
+    A re-run skips partitions whose files already exist — the
+    partitioned-output pattern the driver brief asks for on sinks.
+
+    Returns the list of partition directories written (or skipped).
+    """
+    import hashlib as _hashlib
+
+    import pyarrow.compute as _pc
+    import ray as _ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        done = []
+        if batch.num_rows:
+            keys = batch.column(key)
+            for val in _pc.unique(keys).to_pylist():
+                part = batch.filter(_pc.equal(keys, val))
+                safe = str(val).replace("/", "_")[:120]
+                pdir = os.path.join(out_dir, f"{key}={safe}")
+                os.makedirs(pdir, exist_ok=True)
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, part.schema) as w:
+                    w.write_table(part)
+                name = _hashlib.blake2b(
+                    sink.getvalue().to_pybytes(), digest_size=8).hexdigest()
+                dest = os.path.join(pdir, f"part-{name}.parquet")
+                if not os.path.exists(dest):  # resumable: skip finished
+                    tmp = dest + ".tmp"
+                    pq.write_table(part, tmp)
+                    os.replace(tmp, dest)
+                done.append(pdir)
+        return pa.table({"dir": pa.array(sorted(set(done)),
+                                         type=pa.string())})
+
+    out = ds.map_batches(write_block, batch_format="pyarrow")
+    dirs = sorted({r["dir"] for r in out.take_all()})
+    return dirs

@@ -58,3 +58,21 @@ def test_open_missing(tmp_path):
     assert not ds.exists()
     with pytest.raises(FileNotFoundError):
         ds.manifest()
+
+
+def test_write_partitioned(tmp_path, ray_session):
+    import os
+    import ray.data
+    from imgray.lancelite import write_partitioned
+
+    rows = [{"k": f"g{i % 3}", "v": i} for i in range(30)]
+    ds = ray.data.from_items(rows)
+    out = str(tmp_path / "exp")
+    dirs = write_partitioned(ds, out, key="k")
+    assert len(dirs) == 3
+    back = ray.data.read_parquet(out).take_all()
+    assert sorted(r["v"] for r in back) == list(range(30))
+    # resumable: second run skips existing files (no duplicates)
+    write_partitioned(ray.data.from_items(rows), out, key="k")
+    back2 = ray.data.read_parquet(out).take_all()
+    assert len(back2) == 30
