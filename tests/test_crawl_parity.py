@@ -115,3 +115,22 @@ def test_politeness_budget_respected(ray_session, oracle, tmp_path_factory):
         if os.path.exists(p):
             hosts = Counter(pq.read_table(p).column("host").to_pylist())
             assert all(v <= 2 for v in hosts.values()), (r, hosts)
+
+
+def test_parity_scale2(ray_session, tmp_path_factory):
+    """Wider synthetic web (two hosts of every kind + bigger hot host):
+    full oracle parity at scale=2."""
+    from functools import partial as _partial
+
+    spec = default_spec(scale=2)
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(seeds(spec))
+    root = str(tmp_path_factory.mktemp("crawl2"))
+    cr = Crawler(CrawlerConfig(
+        root=root, fetcher_factory=_partial(make_synth_fetcher, spec),
+        site_cfg=site_config(spec)))
+    cr.seed(seeds(spec))
+    cr.run()
+    assert cr.visit_order() == ref.visit_order
+    assert cr.seen_urls() == ref.seen
+    got = {r["image_id"]: r["bytes"] for r in cr.images_table().to_pylist()}
+    assert got == {k: v["bytes"] for k, v in ref.images.items()}
