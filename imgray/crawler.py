@@ -87,14 +87,20 @@ IMG_OUT = pa.schema(
 VERDICT = "verdict"
 
 
+# seq components are zero-padded to 8 digits (10^8 per chain/sibling
+# level; lexicographic order == numeric order up to that bound — a
+# longer chain would need length-prefixed components)
+SEQ_W = 8
+
+
 def seq_next(seq: str) -> str:
     parts = seq.split(".")
-    parts[-1] = f"{int(parts[-1]) + 1:04d}"
+    parts[-1] = f"{int(parts[-1]) + 1:0{SEQ_W}d}"
     return ".".join(parts)
 
 
 def seq_child(seq: str, j: int) -> str:
-    return f"{seq}.{j:04d}.0000"
+    return f"{seq}.{j:0{SEQ_W}d}." + "0" * SEQ_W
 
 
 def make_synth_fetcher(spec: WebSpec):
@@ -127,8 +133,12 @@ def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict]) -> pa.Table:
             depth, kind = row["depth"], row["kind"]
             resp = fetch(url)
             ok = resp.status == 200 and bool(resp.body)
+            # failed fetches carry a NEGATIVE status marker: they are
+            # lineage-visible attempts but not visits (the reference
+            # aborts before any processing on fetch failure, and the
+            # oracle's visit order excludes them)
             out.append({"row_kind": "page", "url": url, "host": host,
-                        "status": resp.status if ok else (resp.status or 0),
+                        "status": resp.status if ok else -(resp.status or 1),
                         "seq": seq, "depth": depth, "kind": kind})
             if not ok:
                 continue
@@ -146,14 +156,16 @@ def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict]) -> pa.Table:
                         continue
                     for u2, cap in two_level_urls(dresp.text, p.two_level_sel, url):
                         pairs.setdefault((u2, cap))
-                for i, (u2, cap) in enumerate(pairs):
+                two_items = ([(u2, cap, "html") for (u2, cap) in pairs]
+                             + [(u2, "", k2) for (u2, k2) in p.post_urls])
+                for i, (u2, cap, k2) in enumerate(two_items):
                     out.append({"row_kind": "img", "url": u2, "host": host,
-                                "seq": f"{seq}.i{i:06d}", "kind": "html",
+                                "seq": f"{seq}.i{i:08d}", "kind": k2,
                                 "album": p.album_title, "caption": cap})
             else:
                 for i, (u2, k2) in enumerate(p.urls):
                     out.append({"row_kind": "img", "url": u2, "host": host,
-                                "seq": f"{seq}.i{i:06d}", "kind": k2,
+                                "seq": f"{seq}.i{i:08d}", "kind": k2,
                                 "album": p.album_title, "caption": ""})
             for j, href in enumerate(p.album_hrefs):
                 ahost = U.check_host(href)
@@ -211,10 +223,7 @@ def gate_batch(batch: pa.Table, seen: ShardedSeen,
     owners: list[tuple[int, str]] = []  # (row idx, gate kind)
     for i, r in enumerate(rows):
         rk = r["row_kind"]
-        if rk == "link":
-            keys.append("u:" + r["url"])
-            owners.append((i, "link"))
-        elif rk == "img":
+        if rk == "img":
             keys.append("u:" + r["url"])
             owners.append((i, "ins"))
             keys.append(f"i:{r['album']}\x00{r['url']}\x00{r['caption'] or ''}")
@@ -223,17 +232,21 @@ def gate_batch(batch: pa.Table, seen: ShardedSeen,
             keys.append("u:" + r["url"])
             owners.append((i, "ins"))
     novel = seen.check_and_insert(keys)
-    keep = [r["row_kind"] == "page" for r in rows]
+    # link rows pass through UNGATED: gating them here would let task
+    # timing decide which discovery's seq survives when two pages find
+    # the same URL in one round; the driver gates links once per round
+    # after a deterministic min-seq dedup (DFS-first order, like the
+    # sequential reference)
+    keep = [r["row_kind"] in ("page", "link") for r in rows]
     for (i, gk), nv in zip(owners, novel):
-        if gk == "link":
-            keep[i] = nv
-        elif gk == "img":
+        if gk == "img":
             keep[i] = nv
     kept = [r for i, r in enumerate(rows) if keep[i]]
     out = S.table_from_rows(EXTRACT, kept)
     if spill_dir is not None:
         side = out.filter(pc.is_in(out.column("row_kind"),
-                                   value_set=pa.array(["page", "link"])))
+                                   value_set=pa.array(["page", "link",
+                                                       "img"])))
         if side.num_rows:
             name = hashlib.blake2b(
                 "|".join(side.column("seq").to_pylist()).encode(),
@@ -247,7 +260,7 @@ def gate_batch(batch: pa.Table, seen: ShardedSeen,
 def image_batch(batch: pa.Table, fetch, store_data_uris: bool) -> pa.Table:
     """Image fetch + decode + pHash over one batch (Arrow in/out)."""
     out: list[dict] = []
-    if True:
+    if batch.num_rows:
         for r in batch.to_pylist():
             url, album, caption, seq = r["url"], r["album"], r["caption"], r["seq"]
             d = U.sanitize_dir(album)
@@ -348,11 +361,10 @@ def write_fragment(batch: pa.Table, data_dir: str, rnd: int) -> pa.Table:
         "|".join((ids[0].as_py(), ids[-1].as_py(),
                   str(batch.num_rows))).encode(),
         digest_size=8).hexdigest()
-    rel = os.path.join("data", f"frag-r{rnd}-{name}.parquet")
-    root = os.path.dirname(data_dir)
-    tmp = os.path.join(data_dir, f".tmp-{name}")
-    pq.write_table(tbl, tmp, compression="zstd")
-    os.replace(tmp, os.path.join(root, rel))
+    # one fragment-layout implementation: reuse the sink's staging
+    # protocol (tmp write + atomic rename under <root>/data/)
+    rel = LanceLite(os.path.dirname(data_dir)).stage_fragment(
+        tbl, f"r{rnd}-{name}")
     nbytes = sum(len(b) for b in batch.column("bytes").to_pylist() if b)
     return pa.table({"path": [rel], "rows": [batch.num_rows],
                      "nbytes": [nbytes]})
@@ -425,7 +437,8 @@ class Crawler:
                 continue
             rows.append({"url": u, "host": host, "depth": 0,
                          "kind": "listing", "priority": 0,
-                         "seq": f"{i:04d}.0000", "round": 0})
+                         "seq": f"{i:0{SEQ_W}d}." + "0" * SEQ_W,
+                         "round": 0})
         novel = self.seen.check_and_insert(["u:" + r["url"] for r in rows])
         rows = [r for r, nv in zip(rows, novel) if nv]
         tbl = S.table_from_rows(S.FRONTIER, rows)
@@ -620,40 +633,52 @@ class Crawler:
         links = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "link"))
         imgs = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"), "img"))
 
+        # deterministic link admission: sort by seq, first discovery of
+        # each URL wins (DFS order), then ONE batched seen-gate call
+        if links.num_rows:
+            links = links.sort_by("seq")
+            urls_l = links.column("url").to_pylist()
+            first_idx: dict[str, int] = {}
+            for i, u in enumerate(urls_l):
+                first_idx.setdefault(u, i)
+            links = links.take(pa.array(sorted(first_idx.values())))
+            novel = self.seen.check_and_insert(
+                ["u:" + u for u in links.column("url").to_pylist()])
+            links = links.filter(pa.array(novel))
+
         # non-pipelined: image fetch → decode → (strict min-seq dedup) →
         # written gate → distributed fragment write
         if not pipelined and imgs.num_rows:
-            if True:
-                img_ds = ray.data.from_arrow(imgs)
-                nbi = max(1, min(4 * cfg.img_concurrency,
-                                 -(-imgs.num_rows // cfg.img_batch)))
-                if nbi > 1:
-                    img_ds = img_ds.repartition(nbi)
-                if cfg.stage_mode == "actor":
-                    frags = img_ds.map_batches(
-                        ImageWorker, batch_format="pyarrow",
-                        batch_size=cfg.img_batch,
-                        concurrency=(1, cfg.img_concurrency),
-                        fn_constructor_args=(cfg.fetcher_factory,
-                                             cfg.store_data_uris))
-                else:
-                    frags = img_ds.map_batches(
-                        partial(image_task,
-                                fetcher_factory=cfg.fetcher_factory,
-                                client_key=self._client_key,
-                                store_data_uris=cfg.store_data_uris),
-                        batch_format="pyarrow", batch_size=cfg.img_batch)
-                if cfg.strict_name_dedup:
-                    frags = frags.groupby("image_id").map_groups(
-                        dedup_min_seq, batch_format="pyarrow")
-                frags = (
-                    frags
-                    .map_batches(partial(written_gate, seen=self.seen),
-                                 batch_format="pyarrow")
-                    .map_batches(partial(write_fragment, data_dir=data_dir,
-                                         rnd=rnd),
-                                 batch_format="pyarrow")
-                )
+            img_ds = ray.data.from_arrow(imgs)
+            nbi = max(1, min(4 * cfg.img_concurrency,
+                             -(-imgs.num_rows // cfg.img_batch)))
+            if nbi > 1:
+                img_ds = img_ds.repartition(nbi)
+            if cfg.stage_mode == "actor":
+                frags = img_ds.map_batches(
+                    ImageWorker, batch_format="pyarrow",
+                    batch_size=cfg.img_batch,
+                    concurrency=(1, cfg.img_concurrency),
+                    fn_constructor_args=(cfg.fetcher_factory,
+                                         cfg.store_data_uris))
+            else:
+                frags = img_ds.map_batches(
+                    partial(image_task,
+                            fetcher_factory=cfg.fetcher_factory,
+                            client_key=self._client_key,
+                            store_data_uris=cfg.store_data_uris),
+                    batch_format="pyarrow", batch_size=cfg.img_batch)
+            if cfg.strict_name_dedup:
+                frags = frags.groupby("image_id").map_groups(
+                    dedup_min_seq, batch_format="pyarrow")
+            frags = (
+                frags
+                .map_batches(partial(written_gate, seen=self.seen),
+                             batch_format="pyarrow")
+                .map_batches(partial(write_fragment, data_dir=data_dir,
+                                     rnd=rnd),
+                             batch_format="pyarrow")
+            )
             frag_rows = frags.take_all()
             self._save_stats(rnd + 1, frags, "image pipeline")
 
@@ -699,12 +724,13 @@ class Crawler:
                 out[b] = out.get(b, 0) + 1
             return out
 
+        pages_ok = pages.filter(pc.greater(pages.column("status"), 0))
         per_in = _bucket(rel_tbl)
-        per_pages = _bucket(pages)
+        per_pages = _bucket(pages_ok)
         per_imgs = _bucket(imgs)
         lrows = [{
             "partition_id": -1, "round": rnd + 1,
-            "urls_in": rel_tbl.num_rows, "fetched": pages.num_rows,
+            "urls_in": rel_tbl.num_rows, "fetched": pages_ok.num_rows,
             "images": n_images, "bytes": n_bytes,
             "t_start": int(t0 * 1e6), "t_end": t_end,
         }]
@@ -720,7 +746,8 @@ class Crawler:
         self.sink.commit([r["path"] for r in frag_rows],
                          meta={"round": rnd + 1, "ckpt": self.ckpt})
         self.round = rnd + 1
-        return {"pages": pages.num_rows, "images": n_images, "bytes": n_bytes}
+        return {"pages": pages_ok.num_rows, "images": n_images,
+                "bytes": n_bytes}
 
     # ------------------------------------------------------------ results
     def visit_order(self) -> list[str]:
@@ -731,7 +758,9 @@ class Crawler:
                 tbls.append(pq.read_table(p))
         if not tbls:
             return []
-        t = pa.concat_tables(tbls).sort_by("seq")
+        t = pa.concat_tables(tbls)
+        # failed fetches (negative status) are attempts, not visits
+        t = t.filter(pc.greater(t.column("status"), 0)).sort_by("seq")
         return t.column("url").to_pylist()
 
     def seen_urls(self) -> set[str]:

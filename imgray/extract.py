@@ -29,6 +29,10 @@ class PageParse:
     # html entries may be detail-page hrefs when two_level is set
     urls: list[tuple[str, str]] = field(default_factory=list)
     two_level_sel: str | None = None  # right selector; urls are detail hrefs
+    # two-level case only: URLs downloaded AFTER the second-level results
+    # (the reference chains json_img into download() even on two-level
+    # sites, src/main.rs:367 — json selectors always contain " | ")
+    post_urls: list[tuple[str, str]] = field(default_factory=list)
     album_hrefs: list[str] = field(default_factory=list)
     next_url: str = ""
     counters: dict = field(default_factory=dict)
@@ -172,6 +176,11 @@ def parse_page(html: str, addr: str, cfg_entry: dict | None) -> PageParse:
         if sels is not None:
             r.two_level_sel = sels[1]
             r.urls = [(u, "html") for u in urls]  # detail hrefs
+            # download order on two-level sites: second-level results,
+            # then css (always empty here: css runs only unconfigured),
+            # then json (ref :367 urls.chain(css_img).chain(json_img))
+            r.post_urls = [(u, "data" if u.startswith("data:image/")
+                            else "json") for u in json_img]
         else:
             r.urls = [(u, "data" if u.startswith("data:image/") else "html")
                       for u in urls]

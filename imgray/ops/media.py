@@ -44,8 +44,16 @@ class ImageDecodeStage:
         for iid, data in zip(batch.column("image_id").to_pylist(),
                              batch.column("bytes").to_pylist()):
             fmt = C.sniff_format(data or b"")
+            img = None
             if fmt in DECODABLE:
-                img = C.decode_image(data)
+                try:
+                    img = C.decode_image(data)
+                except Exception:
+                    # sniffed-decodable but corrupt/unsupported variant
+                    # (e.g. RGBA or truncated PNG): tolerate unless strict
+                    if self.strict:
+                        raise
+            if img is not None:
                 ph = C.phash64(img)
                 th = (C.png_encode(resize_nearest(img, self.thumb, self.thumb))
                       if self.thumb else b"")

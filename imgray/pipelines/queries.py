@@ -33,6 +33,9 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 def _collect(ds) -> pa.Table:
     tbls = [ray.get(r) for r in ds.to_arrow_refs()]
     tbls = [t for t in tbls if t.num_rows > 0] or tbls[:1]
+    if not tbls:  # dataset produced zero blocks
+        sch = getattr(ds.schema(), "base_schema", None)
+        return sch.empty_table() if sch is not None else pa.table({})
     return pa.concat_tables(tbls, promote_options="default")
 
 

@@ -107,7 +107,9 @@ class RefSim:
                     continue
                 for url, cap in two_level_urls(dresp.text, p.two_level_sel, addr):
                     pairs.setdefault((url, cap))
-            self._download(p.album_title, [(u, c, "html") for (u, c) in pairs])
+            items = [(u, c, "html") for (u, c) in pairs]
+            items += [(u, "", k) for (u, k) in p.post_urls]  # json chain
+            self._download(p.album_title, items)
         elif p.urls:
             self._download(p.album_title, [(u, "", k) for (u, k) in p.urls])
 

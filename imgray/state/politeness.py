@@ -78,6 +78,8 @@ class SchedulerShard:
         self.buckets: dict[str, TokenBucket] = {}
         self.robots: dict[str, list[str]] = {}
         self.rejected: int = 0
+        self._grant_memo: dict[tuple, list[str]] = {}
+        self._memo_order: list[tuple] = []
 
     def _rules(self, host: str) -> list[str]:
         if host not in self.robots:
@@ -93,7 +95,13 @@ class SchedulerShard:
     def filter_and_grant(self, host: str, urls: list[str],
                          now_round: int) -> list[str]:
         """urls arrive seq-sorted.  Returns per-URL verdicts:
-        'release' | 'defer' | 'robots'."""
+        'release' | 'defer' | 'robots'.
+
+        Idempotent per (host, round): a retried release task replays the
+        original verdicts instead of double-spending the token budget."""
+        memo_key = (host, now_round)
+        if memo_key in self._grant_memo:
+            return self._grant_memo[memo_key]
         rules = self._rules(host)
         b = self.buckets.setdefault(host, TokenBucket(self.rate, self.burst))
         b.refill(now_round)
@@ -113,6 +121,10 @@ class SchedulerShard:
             else:
                 verdicts.append("defer")
         b.take(granted)
+        self._grant_memo[memo_key] = verdicts
+        if len(self._memo_order) >= 256:
+            self._grant_memo.pop(self._memo_order.pop(0), None)
+        self._memo_order.append(memo_key)
         return verdicts
 
     def stats(self) -> dict:

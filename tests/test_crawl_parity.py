@@ -134,3 +134,36 @@ def test_parity_scale2(ray_session, tmp_path_factory):
     assert cr.seen_urls() == ref.seen
     got = {r["image_id"]: r["bytes"] for r in cr.images_table().to_pylist()}
     assert got == {k: v["bytes"] for k, v in ref.images.items()}
+
+
+def test_json_site_images_stored(engine):
+    """Regression (code review finding #1): json-configured sites must
+    store their extracted images — the reference chains json_img into
+    download() even though json selectors take the two-level branch
+    (src/main.rs:367)."""
+    cr, _ = engine
+    ids = [r["image_id"] for r in cr.images_table().to_pylist()]
+    assert any(i.startswith("json0 Wonderful Gallery/") for i in ids)
+    assert any(i.startswith("jsona0 Wonderful Gallery/") for i in ids)
+
+
+def test_failed_page_fetch_not_visited(ray_session, tmp_path_factory):
+    """Regression (finding #2): a frontier URL whose fetch fails is an
+    attempt (seen set, lineage) but never a visit."""
+    from functools import partial as _partial
+
+    spec = default_spec(scale=1)
+    spec.hosts = [h for h in spec.hosts if h.name == "lazy0.example"]
+    bad = "https://no-such-host.example/page"
+    sd = [bad, "https://lazy0.example/list/1"]
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(sd)
+    root = str(tmp_path_factory.mktemp("fail"))
+    cr = Crawler(CrawlerConfig(
+        root=root, fetcher_factory=_partial(make_synth_fetcher, spec),
+        site_cfg=site_config(spec)))
+    cr.seed(sd)
+    cr.run()
+    assert bad not in cr.visit_order()
+    assert bad in cr.seen_urls()
+    assert cr.visit_order() == ref.visit_order
+    assert cr.seen_urls() == ref.seen
