@@ -4,9 +4,8 @@ The driver calls ``ray.init`` itself before importing this module:
 nothing here (or in the imgray library) calls ``ray.init``/``ray.shutdown``.
 
 - ``entry()``   — flagship pipeline: the Ray-Data-native crawl of the
-  deterministic synthetic web (seed=42) into the Lance-shaped sink,
-  enriched with a lookup against /root/testdata/sf0.001 documents
-  metadata; returns the images Dataset (stable schema, rows ≥ 0).
+  deterministic synthetic web (seed=42) into the Lance-shaped sink;
+  returns the images Dataset (stable schema, rows ≥ 0).
 - ``queries()`` — one entry per operator/pipeline from SURVEY.md §2 +
   the training-data ops (dedup / ANN / text / multimodal); each takes
   ``sf_dir`` and returns a pyarrow Table or Dataset.

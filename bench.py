@@ -188,9 +188,13 @@ def main_scaling() -> None:
                 capture_output=True, text=True, timeout=1800, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            line = [ln for ln in p.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            crawl = json.loads(line)["crawl"]
+            lines = [ln for ln in p.stdout.splitlines()
+                     if ln.startswith("{")]
+            if p.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling leg num_cpus={n} failed "
+                    f"(rc={p.returncode}): {p.stderr[-2000:]}")
+            crawl = json.loads(lines[-1])["crawl"]
             if best is None or crawl["wall_s"] < best["wall_s"]:
                 best = crawl
         results[n] = best

@@ -20,9 +20,16 @@ import ray
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
+    if m.size == 0:
+        return m.reshape(0, m.shape[1] if m.ndim == 2 else 0)
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1
     return m / n
+
+
+_PARTIAL_SCHEMA = pa.schema([("query_id", pa.int64()),
+                             ("vec_id", pa.int64()),
+                             ("cos", pa.float64())])
 
 
 def cosine_topk(ds, queries: np.ndarray, k: int = 10,
@@ -33,6 +40,8 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10,
     q_ref = ray.put(q)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
         qm = ray.get(q_ref)  # zero-copy object-store read, once per task
         vecs = _normalize(np.array(batch.column(vec_col).to_pylist(),
                                    dtype=np.float64))
@@ -51,7 +60,9 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10,
                          "cos": pa.array(rows["cos"], type=pa.float64())})
 
     part = ds.map_batches(partial_topk, batch_format="pyarrow")
-    t = pa.concat_tables([ray.get(r) for r in part.to_arrow_refs()])
+    tbls = [t for t in (ray.get(r) for r in part.to_arrow_refs())
+            if t.num_rows and t.schema.names == _PARTIAL_SCHEMA.names]
+    t = (pa.concat_tables(tbls) if tbls else _PARTIAL_SCHEMA.empty_table())
     # driver-side merge of partial top-ks (nq × k × blocks rows — tiny)
     out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
     rows = t.to_pylist()
@@ -89,6 +100,9 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
              id_col: str = "vec_id", sample_size: int = 2048):
     """IVF ANN: centroids ← sample; probe only nprobe lists per query."""
     sample_rows = ds.limit(sample_size).take_all()
+    if not sample_rows:
+        return _PARTIAL_SCHEMA.empty_table().append_column(
+            "rank", pa.array([], type=pa.int64()))
     sample = _normalize(np.array([r[vec_col] for r in sample_rows],
                                  dtype=np.float64))
     cent = _normalize(kmeans_lite(sample, nlist))
@@ -99,6 +113,8 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
     q_ref = ray.put(q)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
         c = ray.get(cent_ref)
         qm = ray.get(q_ref)
         vecs = _normalize(np.array(batch.column(vec_col).to_pylist(),
@@ -123,7 +139,9 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
                          "cos": pa.array(rows["cos"], type=pa.float64())})
 
     part = ds.map_batches(partial, batch_format="pyarrow")
-    t = pa.concat_tables([ray.get(r) for r in part.to_arrow_refs()])
+    tbls = [t for t in (ray.get(r) for r in part.to_arrow_refs())
+            if t.num_rows and t.schema.names == _PARTIAL_SCHEMA.names]
+    t = (pa.concat_tables(tbls) if tbls else _PARTIAL_SCHEMA.empty_table())
     out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
     rows = t.to_pylist()
     for qi in range(q.shape[0]):

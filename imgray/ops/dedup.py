@@ -159,6 +159,20 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 
+
+def _dedup_pairs(t: pa.Table, value_col: str, id_type=pa.int64()) -> pa.Table:
+    """Driver-side dedup of (a, b) pairs surfaced by several bands,
+    keeping the last value seen per pair; sorted output."""
+    seen: dict[tuple, object] = {}
+    for r in t.to_pylist():
+        seen[(r["a"], r["b"])] = r[value_col]
+    ks = sorted(seen)
+    return pa.table({"a": pa.array([k[0] for k in ks], type=id_type),
+                     "b": pa.array([k[1] for k in ks], type=id_type),
+                     value_col: pa.array([seen[k] for k in ks],
+                                         type=t.schema.field(value_col).type)})
+
+
 def _pairs_over_buckets(sig_ds, key_col: str, pair_fn, schema: pa.Schema,
                         num_partitions: int = 64):
     """Run a per-bucket pair finder over every key run inside coarse
@@ -188,7 +202,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     shingle → minhash (map_batches) → flat band rows → groupby(band
     bucket) → per-bucket pairs verified by signature similarity.
-    Returns (pairs_table, n_docs): pairs sorted, columns (a, b, sim).
+    Returns a sorted pairs table with columns (a, b, sim).
     """
     a, b = _perm_params(num_perm)
     rows_per_band = num_perm // bands
@@ -238,16 +252,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = _pairs_over_buckets(ds.map_batches(sigs, batch_format="pyarrow"),
                                 "key", bucket_pairs, _PAIR_SIM)
     t = _collect_pairs(pairs, _PAIR_SIM)
-    if t.num_rows:
-        # same pair can surface from several bands → dedup driver-side
-        seen = {}
-        for r in t.to_pylist():
-            seen[(r["a"], r["b"])] = r["sim"]
-        t = pa.table({"a": pa.array([k[0] for k in sorted(seen)], type=pa.int64()),
-                      "b": pa.array([k[1] for k in sorted(seen)], type=pa.int64()),
-                      "sim": pa.array([seen[k] for k in sorted(seen)],
-                                      type=pa.float64())})
-    return t
+    return _dedup_pairs(t, "sim") if t.num_rows else t
 
 
 def union_find_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -340,13 +345,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs = _pairs_over_buckets(ds.map_batches(sigs, batch_format="pyarrow"),
                                 "key", bucket_pairs, _PAIR_DIST)
     t = _collect_pairs(pairs, _PAIR_DIST)
-    seen = {}
-    for r in t.to_pylist():
-        seen[(r["a"], r["b"])] = r["dist"]
-    ks = sorted(seen)
-    return pa.table({"a": pa.array([k[0] for k in ks], type=pa.int64()),
-                     "b": pa.array([k[1] for k in ks], type=pa.int64()),
-                     "dist": pa.array([seen[k] for k in ks], type=pa.int64())})
+    return _dedup_pairs(t, "dist")
 
 
 # ---------------------------------------------------------- n-gram Jaccard
@@ -406,13 +405,7 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding",
     pairs = _pairs_over_buckets(ds.map_batches(sigs, batch_format="pyarrow"),
                                 "key", bucket_pairs, _PAIR_COS)
     t = _collect_pairs(pairs, _PAIR_COS)
-    seen = {}
-    for r in t.to_pylist():
-        seen[(r["a"], r["b"])] = r["cos"]
-    ks = sorted(seen)
-    return pa.table({"a": pa.array([k[0] for k in ks], type=pa.int64()),
-                     "b": pa.array([k[1] for k in ks], type=pa.int64()),
-                     "cos": pa.array([seen[k] for k in ks], type=pa.float64())})
+    return _dedup_pairs(t, "cos")
 
 
 # ----------------------------------------------------------- pHash dedup
@@ -482,11 +475,4 @@ def phash_neardup_pairs(images_ds, id_col: str = "image_id",
         .map_batches(sigs, batch_format="pyarrow"),
         "key", bucket_pairs, schema)
     t = _collect_pairs(pairs, schema)
-    seen = {}
-    for r in t.to_pylist():
-        seen[(r["a"], r["b"])] = r["dist"]
-    ks = sorted(seen)
-    return pa.table({"a": pa.array([k[0] for k in ks], type=pa.string()),
-                     "b": pa.array([k[1] for k in ks], type=pa.string()),
-                     "dist": pa.array([seen[k] for k in ks],
-                                      type=pa.int64())})
+    return _dedup_pairs(t, "dist", id_type=pa.string())

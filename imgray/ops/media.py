@@ -94,6 +94,14 @@ class ImageFeatureStage:
             try:
                 img = C.decode_image(data)
             except Exception:
+                # keep the row with null features (silent drops hide
+                # both corrupt inputs and decoder regressions)
+                out["image_id"].append(iid)
+                out["mean_r"].append(None)
+                out["mean_g"].append(None)
+                out["mean_b"].append(None)
+                out["luma_hist"].append(None)
+                out["edge_energy"].append(None)
                 continue
             m = img.reshape(-1, 3).mean(0)
             luma = img @ np.array([0.299, 0.587, 0.114])

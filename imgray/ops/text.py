@@ -117,7 +117,6 @@ def rolling_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
             h = ((h ^ b) * _FNV_PRIME) & _MASK
         return int(np.uint64(h).view(np.int64))
     hs = np.empty(len(s) - k + 1, dtype=np.uint64)
-    h = _FNV_OFFSET
     for i in range(len(s) - k + 1):
         h = _FNV_OFFSET
         for b in s[i : i + k]:

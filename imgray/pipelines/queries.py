@@ -32,8 +32,10 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 def _collect(ds) -> pa.Table:
     tbls = [ray.get(r) for r in ds.to_arrow_refs()]
-    tbls = [t for t in tbls if t.num_rows > 0] or tbls[:1]
-    if not tbls:  # dataset produced zero blocks
+    tbls = [t for t in tbls if t.num_rows > 0]
+    if not tbls:
+        # all-empty result: groupby/map_groups can emit an empty block
+        # carrying the UPSTREAM schema, so prefer the dataset schema
         sch = getattr(ds.schema(), "base_schema", None)
         return sch.empty_table() if sch is not None else pa.table({})
     return pa.concat_tables(tbls, promote_options="default")
@@ -282,27 +284,17 @@ def q_lang_dist(sf_dir: str):
 # ------------------------------------------------------------------ dedup
 
 def q_exact_dedup_docs(sf_dir: str):
-    """Exact dedup: hash-partition by content hash, first-per-key
-    (the crawler's groupby(url) dedup pattern over documents)."""
+    """Exact dedup via ops.dedup.exact_dedup (partial per-block
+    aggregation + coarse-partition combine — no per-group dispatch),
+    md5 hash for DuckDB-oracle parity."""
+    from ..ops.dedup import exact_dedup
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest()
-              for t in batch.column("text").to_pylist()]
-        return pa.table({"h": pa.array(hs, type=pa.string()),
-                         "doc_id": batch.column("doc_id")})
-
-    def keep_first(g: pa.Table) -> pa.Table:
-        return pa.table({
-            "h": [g.column("h")[0].as_py()],
-            "keeper": pa.array([pc.min(g.column("doc_id")).as_py()],
-                               type=pa.int64()),
-            "dups": pa.array([g.num_rows - 1], type=pa.int64()),
-        })
-
-    return _collect(ds.map_batches(add_hash, batch_format="pyarrow")
-                      .groupby("h")
-                      .map_groups(keep_first, batch_format="pyarrow"))
+    t = _collect(exact_dedup(
+        ds, hash_fn=lambda x: hashlib.md5(x.encode()).hexdigest()))
+    return pa.table({"h": t.column("hash"),
+                     "keeper": t.column("keeper"),
+                     "dups": t.column("dups")})
 
 
 def q_token_counts(sf_dir: str):
