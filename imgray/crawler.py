@@ -321,7 +321,8 @@ def release_group(group: pa.Table, scheds: list, now_round: int) -> pa.Table:
     via the host's owning SchedulerShard (one actor call per host)."""
     if group.num_rows == 0:
         return group.append_column(VERDICT, pa.array([], type=pa.string()))
-    group = group.sort_by("seq")
+    group = group.sort_by([("priority", "ascending"),
+                           ("seq", "ascending")])
     host = group.column("host")[0].as_py()
     urls = group.column("url").to_pylist()
     shard = int.from_bytes(
@@ -396,6 +397,11 @@ class CrawlerConfig:
     # frontier release: below this row count the release runs driver-side
     # (same politeness actors, no shuffle); above it, distributed groupby
     release_driver_threshold: int = 100000
+    # frontier priority: released per host in (priority, seq) order —
+    # smaller = sooner.  Default ranks by depth so listing discovery is
+    # not starved by deep album chains under tight politeness budgets;
+    # final results are unaffected (ordering contract is seq-defined)
+    priority_by_depth: bool = True
     # 'task': map_batches tasks with a per-worker-process memoized fetch
     #   client (setup-once without per-round actor-pool startup latency —
     #   right when client construction is cheap, as with the synthetic
@@ -510,6 +516,7 @@ class Crawler:
         """Driver-side release for small frontiers: one parallel actor
         call per host, identical semantics to the groupby path."""
         frontier = frontier.sort_by([("host", "ascending"),
+                                     ("priority", "ascending"),
                                      ("seq", "ascending")])
         hosts = frontier.column("host").to_pylist()
         urls = frontier.column("url").to_pylist()
@@ -686,11 +693,17 @@ class Crawler:
         # row loops on the driver)
         def _to_frontier(t: pa.Table) -> pa.Table:
             n = t.num_rows
+            if "priority" in t.column_names:
+                prio = pc.cast(t.column("priority"), pa.int32())
+            elif cfg.priority_by_depth:
+                prio = pc.cast(t.column("depth"), pa.int32())
+            else:
+                prio = pa.nulls(n, pa.int32()).fill_null(0)
             return pa.table({
                 "url": t.column("url"), "host": t.column("host"),
                 "depth": pc.cast(t.column("depth"), pa.int32()),
                 "kind": t.column("kind"),
-                "priority": pa.nulls(n, pa.int32()).fill_null(0),
+                "priority": prio,
                 "seq": t.column("seq"),
                 "round": pa.nulls(n, pa.int32()).fill_null(rnd + 1),
             }, schema=S.FRONTIER)
