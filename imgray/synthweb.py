@@ -283,6 +283,11 @@ class SynthWeb:
                             f'title="Album {aid}">A-{aid}</span></a>')
             else:
                 albs.append(f'<a href="{href}" title="Album {aid}">A-{aid}</a>')
+        if h.kind == "lazy" and n == 2 and h.albums > 0:
+            # diamond: listing 2 also links listing 1's first album —
+            # exercises duplicate-link admission (first discovery wins)
+            albs.append('<a href="/album/a10/1" title="Album a10 again">'
+                        "A-a10</a>")
         nxt = ""
         if n < h.listings:
             if h.kind == "style":

@@ -167,3 +167,25 @@ def test_failed_page_fetch_not_visited(ray_session, tmp_path_factory):
     assert bad in cr.seen_urls()
     assert cr.visit_order() == ref.visit_order
     assert cr.seen_urls() == ref.seen
+
+
+def test_diamond_link_deterministic(ray_session, tmp_path_factory):
+    """Two pages discovering the same URL (listing 2 re-links listing
+    1's first album, plus both listings seeded in round 0): admission
+    must be DFS-first deterministic, matching the oracle's first-visit
+    order."""
+    from functools import partial as _partial
+
+    spec = default_spec(scale=1)
+    spec.hosts = [h for h in spec.hosts if h.name == "lazy0.example"]
+    sd = ["https://lazy0.example/list/1", "https://lazy0.example/list/2"]
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(sd)
+    for _try in range(2):  # twice: admission must not depend on timing
+        root = str(tmp_path_factory.mktemp(f"dia{_try}"))
+        cr = Crawler(CrawlerConfig(
+            root=root, fetcher_factory=_partial(make_synth_fetcher, spec),
+            site_cfg=site_config(spec)))
+        cr.seed(sd)
+        cr.run()
+        assert cr.visit_order() == ref.visit_order
+        assert cr.seen_urls() == ref.seen
