@@ -1,0 +1,81 @@
+"""Property-based hardening: the parsing/codec surfaces must be total
+(never raise) on arbitrary input, and codecs must round-trip exactly
+or within the PSNR bound on arbitrary image shapes."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imgray import codecs as C
+from imgray import urlops as U
+from imgray.dom import Document
+from imgray.extract import check_next, parse_page
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_document_total(html):
+    d = Document(html)
+    d.select("img")
+    d.select("div.a > span[x]")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=300))
+def test_parse_page_total(html):
+    p = parse_page(html, "https://h.example/p", None)
+    assert isinstance(p.ok, bool)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=200))
+def test_check_next_total(html):
+    check_next(Document(html).select("a"), "https://h.example/p")
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 70), st.integers(1, 70), st.integers(0, 2**32 - 1))
+def test_codec_roundtrips(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(C.png_decode(C.png_encode(img)), img)
+    assert np.array_equal(C.bmp_decode(C.bmp_encode(img)), img)
+    out = C.lsy_decode(C.lsy_encode(img))
+    assert out.shape == img.shape
+    # pure noise is the worst case for a DCT codec; bound loosely but
+    # assert the PSNR≥40 contract on smooth content below
+    assert C.psnr(img, out) > 25.0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(2, 8), st.integers(2, 8), st.integers(0, 2**32 - 1))
+def test_lsy_psnr_on_smooth_content(bw, bh, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (bh, bw, 3)).astype(np.float64)
+    img = np.clip(np.kron(base, np.ones((8, 8, 1)))
+                  + rng.normal(0, 6, (bh * 8, bw * 8, 3)), 0, 255
+                  ).astype(np.uint8)
+    assert C.psnr(img, C.lsy_decode(C.lsy_encode(img))) >= 40.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=150))
+def test_scalar_urlops_total(s):
+    U.derive_filename(s)
+    U.url_redirect_and_query_cleanup(s)
+    U.percent_encode(s)
+    U.parse_srcset(s)
+    U.strip_page_suffix(s)
+    U.pick_longest_title_segment(s)
+    U.attr_from_selector(s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=200))
+def test_sniff_and_decode_total(data):
+    fmt = C.sniff_format(data)
+    assert isinstance(fmt, str)
+    try:
+        C.decode_image(data)
+    except Exception:
+        pass  # any exception is acceptable; no hang/segfault
