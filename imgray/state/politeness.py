@@ -27,9 +27,11 @@ from __future__ import annotations
 import ray
 
 
-def parse_robots(text: str) -> list[str]:
-    """Minimal robots.txt: Disallow prefixes from 'User-agent: *' groups."""
+def parse_robots_full(text: str) -> tuple[list[str], float | None]:
+    """Minimal robots.txt: Disallow prefixes + Crawl-delay (seconds)
+    from 'User-agent: *' groups."""
     rules: list[str] = []
+    delay: float | None = None
     active = False
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
@@ -41,7 +43,16 @@ def parse_robots(text: str) -> list[str]:
             active = val == "*"
         elif key == "disallow" and active and val:
             rules.append(val)
-    return rules
+        elif key == "crawl-delay" and active:
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    return rules, delay
+
+
+def parse_robots(text: str) -> list[str]:
+    return parse_robots_full(text)[0]
 
 
 def robots_allowed(path: str, rules: list[str]) -> bool:
@@ -70,11 +81,15 @@ class TokenBucket:
 @ray.remote(num_cpus=0)
 class SchedulerShard:
     def __init__(self, fetcher_factory, rate_per_round: float = 4.0,
-                 burst: float = 8.0, respect_robots: bool = True):
+                 burst: float = 8.0, respect_robots: bool = True,
+                 epoch_seconds: float = 1.0):
         self.fetch = fetcher_factory()  # url → Response (robots.txt only)
         self.rate = rate_per_round
         self.burst = burst
         self.respect_robots = respect_robots
+        # one BSP round models epoch_seconds of wall time for
+        # Crawl-delay: allowed/round = epoch_seconds / delay
+        self.epoch_seconds = epoch_seconds
         self.buckets: dict[str, TokenBucket] = {}
         self.robots: dict[str, list[str]] = {}
         self.rejected: int = 0
@@ -87,9 +102,18 @@ class SchedulerShard:
                 self.robots[host] = []
             else:
                 resp = self.fetch(f"https://{host}/robots.txt")
-                self.robots[host] = (
-                    parse_robots(resp.text) if resp.status == 200 else []
-                )
+                rules, delay = (parse_robots_full(resp.text)
+                                if resp.status == 200 else ([], None))
+                self.robots[host] = rules
+                if delay and delay > 0:
+                    # Crawl-delay overrides the default rate when it is
+                    # more conservative (standard politeness semantics)
+                    rate = min(self.rate, self.epoch_seconds / delay)
+                    b = self.buckets.setdefault(
+                        host, TokenBucket(self.rate, self.burst))
+                    b.rate = min(b.rate, max(rate, 0.001))
+                    b.burst = min(b.burst, max(rate, 1.0))
+                    b.tokens = min(b.tokens, b.burst)
         return self.robots[host]
 
     def filter_and_grant(self, host: str, urls: list[str],

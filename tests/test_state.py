@@ -95,3 +95,32 @@ def test_gate_idempotent_replay(ray_session):
     assert not any(second)
     st = ray.get(shard.stats.remote())
     assert st["exact"] == 10
+
+
+def test_robots_crawl_delay(ray_session):
+    """Crawl-delay caps a host's token rate (epoch_seconds/delay per
+    round) when more conservative than the configured rate."""
+    import ray
+    from imgray.state.politeness import SchedulerShard, parse_robots_full
+
+    rules, delay = parse_robots_full(
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 2\n")
+    assert rules == ["/x"] and delay == 2.0
+
+    def factory():
+        class R:
+            status = 200
+            text = "User-agent: *\nCrawl-delay: 2\n"
+        return lambda url: R()
+
+    sched = SchedulerShard.remote(factory, rate_per_round=8.0, burst=8.0,
+                                  epoch_seconds=1.0)
+    urls = [f"https://slow.example/p{i}" for i in range(6)]
+    v1 = ray.get(sched.filter_and_grant.remote("slow.example", urls, 1))
+    # delay=2 & epoch=1 → 0.5 tokens/round; burst capped at 1 → one
+    # release in round 1, then one every other round
+    assert v1.count("release") == 1
+    v2 = ray.get(sched.filter_and_grant.remote("slow.example", urls[1:], 2))
+    assert v2.count("release") == 0  # 0.5 tokens accrued — not enough
+    v3 = ray.get(sched.filter_and_grant.remote("slow.example", urls[1:], 3))
+    assert v3.count("release") == 1
