@@ -126,20 +126,23 @@ def q_orders_by_nation(sf_dir: str):
     task reads it zero-copy — no shuffle join."""
     cust = _collect(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
     nat = _collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
-    nmap = dict(zip(nat.column("n_nationkey").to_pylist(),
-                    nat.column("n_name").to_pylist()))
-    cmap = {k: nmap[v] for k, v in
-            zip(cust.column("c_custkey").to_pylist(),
-                cust.column("c_nationkey").to_pylist())}
-    cref = ray.put(cmap)
+    # custkey -> nation name, fully Arrow: index_in + take (no Python rows)
+    cnames = pc.take(nat.column("n_name").combine_chunks(),
+                     pc.index_in(cust.column("c_nationkey"),
+                                 value_set=nat.column("n_nationkey")
+                                 .combine_chunks()))
+    cref = ray.put((cust.column("c_custkey").combine_chunks(),
+                    cnames.combine_chunks()
+                    if isinstance(cnames, pa.ChunkedArray) else cnames))
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = ray.get(cref)
-        names = [m.get(k) for k in batch.column("o_custkey").to_pylist()]
+        keys, names = ray.get(cref)
+        nn = pc.take(names, pc.index_in(batch.column("o_custkey"),
+                                        value_set=keys))
         t = pa.table({
-            "n_name": pa.array(names, type=pa.string()),
+            "n_name": nn,
             "cents": _cents(batch.column("o_totalprice")),
-            "one": pa.array([1] * batch.num_rows, type=pa.int64()),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
         })
         g = t.group_by("n_name").aggregate([("one", "sum"), ("cents", "sum")])
         return pa.table({"n_name": g.column("n_name"),
@@ -158,18 +161,18 @@ def q_orders_by_nation(sf_dir: str):
 
 def q_brand_revenue(sf_dir: str):
     part_t = _collect(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
-    bmap = dict(zip(part_t.column("p_partkey").to_pylist(),
-                    part_t.column("p_brand").to_pylist()))
-    bref = ray.put(bmap)
+    bref = ray.put((part_t.column("p_partkey").combine_chunks(),
+                    part_t.column("p_brand").combine_chunks()))
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = ray.get(bref)
-        brands = [m.get(k) for k in batch.column("l_partkey").to_pylist()]
+        keys, brand_vals = ray.get(bref)
+        brands = pc.take(brand_vals,
+                         pc.index_in(batch.column("l_partkey"),
+                                     value_set=keys))
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        t = pa.table({"p_brand": pa.array(brands, type=pa.string()),
-                      "cents": _cents(rev)})
+        t = pa.table({"p_brand": brands, "cents": _cents(rev)})
         g = t.group_by("p_brand").aggregate([("cents", "sum")])
         return pa.table({"p_brand": g.column("p_brand"),
                          "revenue_cents": g.column("cents_sum")})
@@ -184,17 +187,19 @@ def q_brand_revenue(sf_dir: str):
 
 def q_supplier_balance(sf_dir: str):
     nat = _collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
-    nmap = dict(zip(nat.column("n_nationkey").to_pylist(),
-                    nat.column("n_name").to_pylist()))
-    nref = ray.put(nmap)
+    nref = ray.put((nat.column("n_nationkey").combine_chunks(),
+                    nat.column("n_name").combine_chunks()))
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.greater(batch.column("s_acctbal"), 0))
-        m = ray.get(nref)
-        names = [m.get(k) for k in batch.column("s_nationkey").to_pylist()]
-        t = pa.table({"n_name": pa.array(names, type=pa.string()),
+        keys, nation_vals = ray.get(nref)
+        names = pc.take(nation_vals,
+                        pc.index_in(batch.column("s_nationkey"),
+                                    value_set=keys))
+        t = pa.table({"n_name": names,
                       "cents": _cents(batch.column("s_acctbal")),
-                      "one": pa.array([1] * batch.num_rows, type=pa.int64())})
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
         g = t.group_by("n_name").aggregate([("one", "sum"), ("cents", "sum")])
         return pa.table({"n_name": g.column("n_name"),
                          "n_suppliers": g.column("one_sum"),
@@ -221,11 +226,21 @@ def q_top2_events_per_user(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
 
     def _topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["value", "event_id"],
-                            ascending=[False, True], kind="mergesort")
-        df = df.groupby("user_id", sort=False).head(2)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # zero-copy numpy: global (value desc, event_id asc) order, then
+        # keep the first 2 occurrences per user in that order — identical
+        # to the row_number() window oracle, no pandas round-trip
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val))
+        u = uid[order]
+        by_u = np.argsort(u, kind="stable")
+        us = u[by_u]
+        starts = np.r_[0, np.flatnonzero(us[1:] != us[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(us)])
+        occ = np.empty(len(u), dtype=np.int64)
+        occ[by_u] = np.arange(len(us)) - np.repeat(starts, counts)
+        return t.take(pa.array(order[occ < 2]))
 
     parts = _collect(ds.map_batches(_topk, batch_format="pyarrow"))
     final = _topk(parts)
@@ -523,15 +538,18 @@ def q_asof_join(sf_dir: str):
 
 
 def q_hash_sample(sf_dir: str):
-    """Deterministic hash sampling (~1/16 of events): filter on an
-    md5-prefix of the key — reproducible across engines, no RNG state,
-    the standard scalable sampling pattern."""
+    """Deterministic hash sampling (~1/16 of events): Knuth
+    multiplicative hash of the key, fully vectorized (numpy uint64
+    wraps mod 2^64, so % 2^32 equals the exact product mod 2^32 the
+    SQL oracle computes in HUGEINT) — reproducible across engines, no
+    RNG state, no per-row Python."""
     ds = _read(sf_dir, "events", ["event_id", "user_id"])
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch.column("event_id").to_pylist()
-        keep = [hashlib.md5(str(i).encode()).hexdigest() < "1" for i in ids]
-        t = batch.filter(pa.array(keep))
+        ids = batch.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        t = batch.filter(pa.array(h < np.uint64(1 << 28)))
         return pa.table({"event_id": t.column("event_id"),
                          "user_id": t.column("user_id")})
 
@@ -578,31 +596,36 @@ ORACLE_SQL = {
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-               sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                   AS sum_base_cents,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "events_by_type": """
         SELECT event_type, count(*) AS n,
-               sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
         FROM events GROUP BY event_type""",
     "daily_events": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
         FROM events GROUP BY 1""",
     "orders_by_nation": """
         SELECT n_name, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name""",
     "brand_revenue": """
         SELECT p_brand,
-               sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+               CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                            AS BIGINT)) AS BIGINT)
                    AS revenue_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand""",
     "supplier_balance": """
         SELECT n_name, count(*) AS n_suppliers,
-               sum(CAST(round(s_acctbal*100) AS BIGINT)) AS bal_cents
+               CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         WHERE s_acctbal > 0 GROUP BY n_name""",
     "top2_events_per_user": """
@@ -651,7 +674,8 @@ ORACLE_SQL = {
         FROM events""",
     "hash_sample": """
         SELECT event_id, user_id FROM events
-        WHERE md5(CAST(event_id AS VARCHAR)) < '1'""",
+        WHERE (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296
+              < 268435456""",
     "asof_join": """
         SELECT e.event_id, o.o_orderkey
         FROM events e
