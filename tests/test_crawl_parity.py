@@ -169,11 +169,17 @@ def test_failed_page_fetch_not_visited(ray_session, tmp_path_factory):
     assert cr.seen_urls() == ref.seen
 
 
-def test_diamond_link_deterministic(ray_session, tmp_path_factory):
+@pytest.mark.parametrize("threshold,pipelined",
+                         [(100000, False),  # driver-side vectorized path
+                          (0, False),       # distributed release+admission
+                          (0, True)])       # distributed + pipelined spill
+def test_diamond_link_deterministic(ray_session, tmp_path_factory,
+                                    threshold, pipelined):
     """Two pages discovering the same URL (listing 2 re-links listing
     1's first album, plus both listings seeded in round 0): admission
     must be DFS-first deterministic, matching the oracle's first-visit
-    order."""
+    order — under BOTH the driver-side vectorized min-seq path and the
+    distributed groupby(url) path (VERDICT r1 #2)."""
     from functools import partial as _partial
 
     spec = default_spec(scale=1)
@@ -184,7 +190,9 @@ def test_diamond_link_deterministic(ray_session, tmp_path_factory):
         root = str(tmp_path_factory.mktemp(f"dia{_try}"))
         cr = Crawler(CrawlerConfig(
             root=root, fetcher_factory=_partial(make_synth_fetcher, spec),
-            site_cfg=site_config(spec)))
+            site_cfg=site_config(spec),
+            release_driver_threshold=threshold,
+            strict_name_dedup=not pipelined))
         cr.seed(sd)
         cr.run()
         assert cr.visit_order() == ref.visit_order
