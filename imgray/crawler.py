@@ -558,8 +558,15 @@ class CrawlerConfig:
     frontier_buckets: int = 16
     # frontier priority: released per host in (priority, seq) order —
     # smaller = sooner.  Default ranks by depth so listing discovery is
-    # not starved by deep album chains under tight politeness budgets;
-    # final results are unaffected (ordering contract is seq-defined)
+    # not starved by deep album chains under tight politeness budgets.
+    # Visit order and the seen set are unaffected (both are seq-defined);
+    # the cross-round image first-wins gate, however, is first-ROUND-wins,
+    # so depth-priority release could flip a stored winner when pages at
+    # different depths on one host produce the same image_id under
+    # politeness deferral (not reachable in the reference fixtures, where
+    # image-producing pages of an album share a depth — see the module
+    # docstring's single-chain caveat; key the written gate on min-seq if
+    # strict parity is ever needed there)
     priority_by_depth: bool = True
     # 'task': map_batches tasks with a per-worker-process memoized fetch
     #   client (setup-once without per-round actor-pool startup latency —

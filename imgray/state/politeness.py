@@ -29,10 +29,15 @@ import ray
 
 def parse_robots_full(text: str) -> tuple[list[str], float | None]:
     """Minimal robots.txt: Disallow prefixes + Crawl-delay (seconds)
-    from 'User-agent: *' groups."""
+    from records whose User-agent set includes '*'.
+
+    Standard grouping: consecutive User-agent lines open ONE record
+    shared by all the named agents, so ``User-agent: *\\nUser-agent:
+    foo\\nDisallow: /x`` applies /x to '*' (ADVICE r1)."""
     rules: list[str] = []
     delay: float | None = None
     active = False
+    in_ua_block = False  # are we still collecting a record's UA lines?
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line:
@@ -40,14 +45,20 @@ def parse_robots_full(text: str) -> tuple[list[str], float | None]:
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            active = val == "*"
-        elif key == "disallow" and active and val:
-            rules.append(val)
-        elif key == "crawl-delay" and active:
-            try:
-                delay = float(val)
-            except ValueError:
-                pass
+            if in_ua_block:
+                active = active or val == "*"  # same record, add agent
+            else:
+                active = val == "*"  # a UA line after rules: new record
+                in_ua_block = True
+        else:
+            in_ua_block = False
+            if key == "disallow" and active and val:
+                rules.append(val)
+            elif key == "crawl-delay" and active:
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
     return rules, delay
 
 
@@ -106,14 +117,17 @@ class SchedulerShard:
                                 if resp.status == 200 else ([], None))
                 self.robots[host] = rules
                 if delay and delay > 0:
-                    # Crawl-delay overrides the default rate when it is
-                    # more conservative (standard politeness semantics)
-                    rate = min(self.rate, self.epoch_seconds / delay)
-                    b = self.buckets.setdefault(
-                        host, TokenBucket(self.rate, self.burst))
-                    b.rate = min(b.rate, max(rate, 0.001))
-                    b.burst = min(b.burst, max(rate, 1.0))
-                    b.tokens = min(b.tokens, b.burst)
+                    # Crawl-delay overrides the default rate ONLY when
+                    # it is more conservative than the configured
+                    # rate_per_round; a laxer advertised delay leaves
+                    # the bucket untouched (ADVICE r1)
+                    adv = self.epoch_seconds / delay
+                    if adv < self.rate:
+                        b = self.buckets.setdefault(
+                            host, TokenBucket(self.rate, self.burst))
+                        b.rate = min(b.rate, max(adv, 0.001))
+                        b.burst = min(b.burst, max(adv, 1.0))
+                        b.tokens = min(b.tokens, b.burst)
         return self.robots[host]
 
     def filter_and_grant(self, host: str, urls: list[str],

@@ -124,3 +124,42 @@ def test_robots_crawl_delay(ray_session):
     assert v2.count("release") == 0  # 0.5 tokens accrued — not enough
     v3 = ray.get(sched.filter_and_grant.remote("slow.example", urls[1:], 3))
     assert v3.count("release") == 1
+
+
+def test_robots_shared_ua_record():
+    """Consecutive User-agent lines open one shared record (standard
+    robots.txt grouping): rules under 'User-agent: *\\nUser-agent: foo'
+    apply to '*', and a later record resets the active flag."""
+    from imgray.state.politeness import parse_robots_full
+
+    rules, _ = parse_robots_full(
+        "User-agent: *\nUser-agent: foo\nDisallow: /x\n"
+        "User-agent: bar\nDisallow: /y\n")
+    assert rules == ["/x"]
+    # reversed order in the shared record still applies to '*'
+    rules2, _ = parse_robots_full(
+        "User-agent: foo\nUser-agent: *\nDisallow: /x\n")
+    assert rules2 == ["/x"]
+    # a non-* record alone contributes nothing
+    rules3, _ = parse_robots_full("User-agent: foo\nDisallow: /x\n")
+    assert rules3 == []
+
+
+def test_crawl_delay_laxer_than_rate_is_noop(ray_session):
+    """A Crawl-delay LESS conservative than the configured rate must not
+    shrink the burst (ADVICE r1): rate=8, burst=16, delay=0.05 →
+    advertised 20/round > 8 → bucket untouched."""
+    import ray
+    from imgray.state.politeness import SchedulerShard
+
+    def factory():
+        class R:
+            status = 200
+            text = "User-agent: *\nCrawl-delay: 0.05\n"
+        return lambda url: R()
+
+    sched = SchedulerShard.remote(factory, rate_per_round=8.0, burst=16.0,
+                                  epoch_seconds=1.0)
+    urls = [f"https://fast.example/p{i}" for i in range(20)]
+    v = ray.get(sched.filter_and_grant.remote("fast.example", urls, 1))
+    assert v.count("release") == 16  # full burst, not capped to 8
