@@ -336,10 +336,27 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Near-dup pairs over the embedding table PLUS planted duplicates
+    (every 25th vector re-appears as vec_id+100000): the base table is
+    i.i.d. gaussian, so a 0.9-cosine threshold provably returns nothing
+    on it alone (VERDICT r1 #5 — a structurally-empty conformance query
+    verifies nothing).  The planted pairs give known, SQL-checkable
+    output; the augmentation is a map_batches stage, so it scales with
+    the read."""
     from ..ops.dedup import embedding_neardup_pairs
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.9)
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        dup = batch.filter(pa.array(ids % 25 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(dup.column("vec_id"), 100000))
+        return pa.concat_tables([batch, dup])
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow")
+    t = embedding_neardup_pairs(ds, threshold=0.9)
+    return t.select(["a", "b"])
 
 
 def _queries_for_ann(sf_dir: str) -> np.ndarray:
@@ -380,6 +397,24 @@ def q_fingerprint(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _collect(ds.map_batches(fingerprint_batch, batch_format="pyarrow"))
+
+
+def q_fingerprint_md5(sf_dir: str):
+    """Content fingerprint as md5 of whitespace-normalized lowercased
+    text — the SQL-expressible fingerprint variant (DuckDB oracle), next
+    to the winnowing fingerprint which has none."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        ws = _re.compile(r"\s+")
+        fps = [hashlib.md5(ws.sub(" ", (t or "").lower()).encode()).hexdigest()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": pa.array(fps, type=pa.string())})
+
+    return _collect(ds.map_batches(f, batch_format="pyarrow"))
 
 
 _FLAGSHIP_CACHE: dict[int, object] = {}
@@ -443,11 +478,41 @@ def q_phash_exact_dedup(sf_dir: str):
 
 
 def q_phash_neardup(sf_dir: str):
-    """Rows-only: banded pHash near-dup pairs over the crawled images."""
+    """Rows-only: banded pHash near-dup pairs over the crawled images
+    PLUS planted near-duplicates — a deterministic subset of the stored
+    images is decoded, brightness-jittered, and re-encoded through the
+    real codec path (new id ``neardup/<orig>``), so the query returns
+    known nonzero pairs instead of the structurally-empty result the
+    round-1 conformance run produced (VERDICT r1 #5)."""
+    from ..codecs import decode_image, encode_image, sniff_format
     from ..ops.dedup import phash_neardup_pairs
+    from ..refsim import image_record
 
     cr = run_flagship_crawl()
-    return phash_neardup_pairs(cr.sink.to_ray(), max_hamming=6)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        keep = batch.select(["image_id", "phash"])
+        out = [keep]
+        rows = []
+        for iid, data in zip(batch.column("image_id").to_pylist(),
+                             batch.column("bytes").to_pylist()):
+            if not iid.endswith(".png") or len(data) > 8192:
+                continue
+            img = decode_image(data)
+            jit = np.clip(img.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+            rec = image_record("neardup/" + iid,
+                               encode_image(jit, sniff_format(data)), "")
+            rows.append({"image_id": rec["image_id"],
+                         "phash": rec["phash"]})
+        if rows:
+            out.append(pa.table(
+                {"image_id": pa.array([r["image_id"] for r in rows]),
+                 "phash": pa.array([r["phash"] for r in rows],
+                                   type=pa.int64())}))
+        return pa.concat_tables(out)
+
+    ds = cr.sink.to_ray().map_batches(plant, batch_format="pyarrow")
+    return phash_neardup_pairs(ds, max_hamming=6)
 
 
 
@@ -586,6 +651,7 @@ QUERIES = {
     "langid": q_langid,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
+    "fingerprint_md5": q_fingerprint_md5,
     "crawl_images": q_crawl_images,
     "image_features": q_image_features,
     "phash_exact_dedup": q_phash_exact_dedup,
@@ -687,6 +753,19 @@ ORACLE_SQL = {
          AND o.o_orderkey = (SELECT min(o3.o_orderkey) FROM orders o3
                              WHERE o3.o_custkey = e.user_id
                                AND o3.o_orderdate = o.o_orderdate)""",
+    "fingerprint_md5": r"""
+        SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                   AS fp
+        FROM documents""",
+    "embedding_neardup": """
+        WITH aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+            WHERE vec_id % 25 = 0)
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9""",
     "token_counts": r"""
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
