@@ -211,6 +211,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return bmp_decode(data)
     if fmt == "lsy":
         return lsy_decode(data)
+    if fmt == "jpg":
+        from .jpegcodec import jpeg_decode
+
+        return jpeg_decode(data)
     raise ValueError(f"cannot decode format {fmt or 'unknown'}")
 
 
@@ -221,6 +225,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return bmp_encode(img)
     if fmt == "lsy":
         return lsy_encode(img)
+    if fmt == "jpg":
+        from .jpegcodec import jpeg_encode
+
+        return jpeg_encode(img)
     raise ValueError(f"cannot encode format {fmt}")
 
 
