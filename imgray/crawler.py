@@ -41,6 +41,7 @@ import time
 from dataclasses import dataclass, field
 from functools import partial
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -231,31 +232,30 @@ def gate_batch(batch: pa.Table, seen: ShardedSeen,
     """
     if batch.num_rows == 0:
         return batch
-    rows = batch.to_pylist()
-    keys: list[str] = []
-    owners: list[tuple[int, str]] = []  # (row idx, gate kind)
-    for i, r in enumerate(rows):
-        rk = r["row_kind"]
-        if rk == "img":
-            keys.append("u:" + r["url"])
-            owners.append((i, "ins"))
-            keys.append(f"i:{r['album']}\x00{r['url']}\x00{r['caption'] or ''}")
-            owners.append((i, "img"))
-        elif rk == "seen":
-            keys.append("u:" + r["url"])
-            owners.append((i, "ins"))
-    novel = seen.check_and_insert(keys)
+    rk = batch.column("row_kind")
+    img_mask = pc.equal(rk, "img")
+    img_t = batch.filter(img_mask)
+    img_urls = img_t.column("url").to_pylist()
+    albums = img_t.column("album").to_pylist()
+    caps = img_t.column("caption").to_pylist()
+    seen_urls = batch.filter(pc.equal(rk, "seen")).column("url").to_pylist()
+    # "u:" novelty results are side-effect-only (insertion); "i:" keys
+    # gate img rows.  The two key spaces are disjoint, so batching them
+    # in two runs is order-equivalent to the old per-row interleave.
+    ins_keys = ["u:" + u for u in img_urls] + ["u:" + u for u in seen_urls]
+    img_keys = [f"i:{a}\x00{u}\x00{c or ''}"
+                for a, u, c in zip(albums, img_urls, caps)]
+    novel = seen.check_and_insert(ins_keys + img_keys)
+    novel_img = novel[len(ins_keys):]
     # link rows pass through UNGATED: gating them here would let task
     # timing decide which discovery's seq survives when two pages find
-    # the same URL in one round; the driver gates links once per round
-    # after a deterministic min-seq dedup (DFS-first order, like the
+    # the same URL in one round; links are gated once per round after a
+    # deterministic min-seq dedup (DFS-first order, like the
     # sequential reference)
-    keep = [r["row_kind"] in ("page", "link") for r in rows]
-    for (i, gk), nv in zip(owners, novel):
-        if gk == "img":
-            keep[i] = nv
-    kept = [r for i, r in enumerate(rows) if keep[i]]
-    out = S.table_from_rows(EXTRACT, kept)
+    keep = pc.is_in(rk, value_set=pa.array(["page", "link"])) \
+        .to_numpy(zero_copy_only=False).copy()
+    keep[np.flatnonzero(img_mask.to_numpy(zero_copy_only=False))] = novel_img
+    out = batch.filter(pa.array(keep))
     if spill_dir is not None:
         # spill pages and links to SEPARATE side files (pages are
         # politeness-bounded and read by the driver; links are the
@@ -350,6 +350,17 @@ def image_sink_task(batch: pa.Table, fetcher_factory, client_key: str,
                     store_data_uris)
     t = written_gate(t, seen)
     return write_fragment(t, data_dir, rnd)
+
+
+def _from_arrow_split(tbl: pa.Table, nparts: int):
+    """Dataset over ``tbl`` pre-split into ~nparts blocks by zero-copy
+    slicing (task-granularity control WITHOUT a Repartition barrier)."""
+    if tbl.num_rows == 0 or nparts <= 1:
+        return ray.data.from_arrow(tbl)
+    step = -(-tbl.num_rows // nparts)
+    slices = [tbl.slice(i * step, step)
+              for i in range(nparts) if i * step < tbl.num_rows]
+    return ray.data.from_arrow(slices)
 
 
 def to_frontier(t: pa.Table, rnd: int, priority_by_depth: bool) -> pa.Table:
@@ -519,7 +530,8 @@ def write_fragment(batch: pa.Table, data_dir: str, rnd: int) -> pa.Table:
     # protocol (tmp write + atomic rename under <root>/data/)
     rel = LanceLite(os.path.dirname(data_dir)).stage_fragment(
         tbl, f"r{rnd}-{name}")
-    nbytes = sum(len(b) for b in batch.column("bytes").to_pylist() if b)
+    nbytes = int(pc.sum(pc.binary_length(batch.column("bytes")))
+                 .as_py() or 0)
     return pa.table({"path": [rel], "rows": [batch.num_rows],
                      "nbytes": [nbytes]})
 
@@ -588,6 +600,7 @@ class Crawler:
         import uuid as _uuid
 
         self._client_key = _uuid.uuid4().hex  # per-crawl client memo key
+        self.round_times: list[dict] = []  # per-round phase walltimes
         self.scheds = [
             SchedulerShard.remote(cfg.fetcher_factory, cfg.rate_per_round,
                                   cfg.burst, cfg.respect_robots)
@@ -715,6 +728,13 @@ class Crawler:
         rnd = self.round
         nb = cfg.frontier_buckets
         t0 = time.time()
+        tm: dict[str, float] = {}
+        _last = [t0]
+
+        def _mark(name: str) -> None:
+            now = time.time()
+            tm[name] = round(tm.get(name, 0.0) + (now - _last[0]), 3)
+            _last[0] = now
 
         fpaths = self._frontier_paths(rnd)
         n_frontier = self._frontier_count(rnd)
@@ -766,13 +786,15 @@ class Crawler:
                     if t.num_rows]
             released = (pa.concat_tables(tbls, promote_options="default")
                         if tbls else S.FRONTIER.empty_table())
+        _mark("release")
 
-        # fetch + extract + gate (HTML never leaves the PageParser actors)
-        rel_ds = ray.data.from_arrow(released)
-        nb = max(1, min(8 * cfg.fetch_concurrency,
-                        -(-released.num_rows // cfg.fetch_batch)))
-        if nb > 1:
-            rel_ds = rel_ds.repartition(nb)  # split for pool parallelism
+        # fetch + extract + gate (HTML never leaves the PageParser actors).
+        # Pre-split the released table into blocks by zero-copy slicing —
+        # a Repartition operator here is an upstream barrier that cost
+        # ~2s/round of dead time before the first fetch task could start
+        rel_ds = _from_arrow_split(
+            released, max(1, min(8 * cfg.fetch_concurrency,
+                                 -(-released.num_rows // cfg.fetch_batch))))
         if cfg.stage_mode == "actor":
             fetched = rel_ds.map_batches(
                 PageParser, batch_format="pyarrow",
@@ -815,6 +837,7 @@ class Crawler:
                     batch_format="pyarrow", batch_size=cfg.img_batch)
             )
             frag_rows = pipeline.take_all()
+            _mark("pipeline")
             self._save_stats(rnd + 1, pipeline, "pipelined round")
             files = sorted(os.listdir(spill_dir))
             pgf = [os.path.join(spill_dir, f) for f in files
@@ -833,6 +856,7 @@ class Crawler:
                                  t.column("n").to_pylist()):
                     per_imgs[bk] = per_imgs.get(bk, 0) + n
             imgs = None  # img rows never reach the driver in this mode
+            _mark("spill_read")
 
             # link admission: DFS-first min-seq per URL + novelty gate.
             # Small rounds run it vectorized on the driver; large rounds
@@ -867,6 +891,7 @@ class Crawler:
                 )
                 adm.take_all()
                 self._save_stats(rnd + 1, adm, "link admission")
+            _mark("admission")
         else:
             extract = (
                 fetched
@@ -901,11 +926,9 @@ class Crawler:
         # non-pipelined: image fetch → decode → (strict min-seq dedup) →
         # written gate → distributed fragment write
         if not pipelined and imgs.num_rows:
-            img_ds = ray.data.from_arrow(imgs)
-            nbi = max(1, min(4 * cfg.img_concurrency,
-                             -(-imgs.num_rows // cfg.img_batch)))
-            if nbi > 1:
-                img_ds = img_ds.repartition(nbi)
+            img_ds = _from_arrow_split(
+                imgs, max(1, min(4 * cfg.img_concurrency,
+                                 -(-imgs.num_rows // cfg.img_batch))))
             if cfg.stage_mode == "actor":
                 frags = img_ds.map_batches(
                     ImageWorker, batch_format="pyarrow",
@@ -968,6 +991,15 @@ class Crawler:
         self.sink.commit([r["path"] for r in frag_rows],
                          meta={"round": rnd + 1, "ckpt": self.ckpt})
         self.round = rnd + 1
+        _mark("finalize")
+        tm["wall"] = round(time.time() - t0, 3)
+        self.round_times.append(tm)
+        try:
+            with open(os.path.join(self._rdir(rnd + 1, ""), "stats.txt"),
+                      "a") as f:
+                f.write(f"==== phase times ====\n{tm}\n")
+        except OSError:
+            pass
         return {"pages": pages_ok.num_rows, "images": n_images,
                 "bytes": n_bytes}
 

@@ -94,7 +94,12 @@ class LanceLite:
         re-execution overwrite its own fragment → idempotent."""
         rel = os.path.join("data", f"frag-{name_hint}.parquet")
         tmp = os.path.join(self.data_dir, f".tmp-{uuid.uuid4().hex}")
-        pq.write_table(table, tmp, compression="zstd")
+        # binary payload columns hold already-compressed image bytes —
+        # recompressing them burns CPU for ~0 ratio; zstd the rest
+        comp = {f.name: ("NONE" if pa.types.is_binary(f.type)
+                         or pa.types.is_large_binary(f.type) else "ZSTD")
+                for f in table.schema}
+        pq.write_table(table, tmp, compression=comp)
         os.replace(tmp, os.path.join(self.root, rel))
         return rel
 
