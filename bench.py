@@ -209,6 +209,9 @@ def main_scaling() -> None:
         "urls_per_s": {"4": ta["urls_per_s"], "16": tb["urls_per_s"]},
         "images_per_s": {"4": ta["images_per_s"], "16": tb["images_per_s"]},
         "efficiency": round(eff, 4),
+        # external-tenant noise context: this sandbox shares the host;
+        # loadavg >> our own CPU use means the run was polluted
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }))
 
 

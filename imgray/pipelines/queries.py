@@ -575,26 +575,34 @@ def q_asof_join(sf_dir: str):
     ck, od, ok = ck[order_idx], od[order_idx].astype("int64"), ok[order_idx]
     bref = ray.put((ck, od, ok))
 
+    # dense-rank composite (key_rank * K + date_rank) turns the
+    # two-level (custkey, date ≤ ts) lookup into ONE vectorized
+    # searchsorted over an int64 domain — no per-row Python, exact
+    # (ranks are small ints, no float-precision composite)
+    uck = np.unique(ck)
+    udt = np.unique(od)
+    K = np.int64(len(udt) + 2)
+    comp = np.searchsorted(uck, ck).astype(np.int64) * K \
+        + np.searchsorted(udt, od).astype(np.int64)
+    bref2 = ray.put((uck, udt, comp))
+
     def partial(batch: pa.Table) -> pa.Table:
         cks, ods, oks = ray.get(bref)
+        ucks, udts, comps = ray.get(bref2)
         uids = batch.column("user_id").to_numpy(zero_copy_only=False)
         ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("int64")
         eids = batch.column("event_id").to_numpy(zero_copy_only=False)
-        # vectorized per-key range bounds
         lo = np.searchsorted(cks, uids, side="left")
         hi = np.searchsorted(cks, uids, side="right")
-        out_e, out_o = [], []
-        for i in range(len(uids)):
-            a, b = lo[i], hi[i]
-            if a == b:
-                continue
-            pos = a + np.searchsorted(ods[a:b], ts[i], side="right") - 1
-            if pos < a:
-                continue
-            out_e.append(int(eids[i]))
-            out_o.append(int(oks[pos]))
-        return pa.table({"event_id": pa.array(out_e, type=pa.int64()),
-                         "o_orderkey": pa.array(out_o, type=pa.int64())})
+        r_e = np.searchsorted(ucks, uids).clip(0, len(ucks) - 1)
+        dr_e = np.searchsorted(udts, ts, side="right") - 1
+        want = r_e.astype(np.int64) * (np.int64(len(udts) + 2)) + dr_e
+        idx = np.searchsorted(comps, want, side="right") - 1
+        ok = (hi > lo) & (idx >= lo)
+        idx_c = np.clip(idx, 0, len(oks) - 1)
+        return pa.table({
+            "event_id": pa.array(eids[ok], type=pa.int64()),
+            "o_orderkey": pa.array(oks[idx_c[ok]], type=pa.int64())})
 
     return _collect(_read(sf_dir, "events", ["event_id", "user_id", "ts"])
                     .map_batches(partial, batch_format="pyarrow"))
