@@ -352,6 +352,17 @@ def image_sink_task(batch: pa.Table, fetcher_factory, client_key: str,
     return write_fragment(t, data_dir, rnd)
 
 
+def _read_many(paths: list[str]) -> pa.Table:
+    """Concat-read parquet files with a thread pool (pq.read_table
+    releases the GIL; serial reads were a visible driver segment)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(paths) == 1:
+        return pq.read_table(paths[0])
+    with ThreadPoolExecutor(min(8, len(paths))) as ex:
+        return pa.concat_tables(list(ex.map(pq.read_table, paths)))
+
+
 def _from_arrow_split(tbl: pa.Table, nparts: int):
     """Dataset over ``tbl`` pre-split into ~nparts blocks by zero-copy
     slicing (task-granularity control WITHOUT a Repartition barrier)."""
@@ -561,9 +572,11 @@ class CrawlerConfig:
     strict_name_dedup: bool = True
     # frontier release / link admission: below this row count they run
     # driver-side (same politeness actors / same min-seq semantics, no
-    # extra Ray job); above it, per-bucket release tasks + distributed
-    # groupby(url) admission — the frontier never crosses the driver
-    release_driver_threshold: int = 100000
+    # extra Ray job — the vectorized Arrow path handles ~250k rows in
+    # well under the fixed launch+drain cost of a streaming execution);
+    # above it, per-bucket release tasks + distributed groupby(url)
+    # admission — the frontier never crosses the driver
+    release_driver_threshold: int = 250000
     # frontier checkpoint partitioning: hash(host) % frontier_buckets
     # bucket files per round (worker-written at scale; release reads
     # per-bucket files, so a bucket IS a release task's partition)
@@ -580,6 +593,10 @@ class CrawlerConfig:
     # docstring's single-chain caveat; key the written gate on min-seq if
     # strict parity is ever needed there)
     priority_by_depth: bool = True
+    # tiny rounds (seed round, drain tail) run their fetch→gate→sink
+    # inline on the driver in pipelined mode: a streaming execution has
+    # ~0.5-1s of fixed launch/drain cost, pure overhead for <256 rows
+    inline_round_threshold: int = 256
     # 'task': map_batches tasks with a per-worker-process memoized fetch
     #   client (setup-once without per-round actor-pool startup latency —
     #   right when client construction is cheap, as with the synthetic
@@ -822,23 +839,41 @@ class Crawler:
             def _imgs_only(b: pa.Table) -> pa.Table:
                 return b.filter(pc.equal(b.column("row_kind"), "img"))
 
-            pipeline = (
-                fetched
-                .map_batches(partial(gate_batch, seen=self.seen,
-                                     spill_dir=spill_dir, rnd=rnd, nb=nb),
-                             batch_format="pyarrow")
-                .map_batches(_imgs_only, batch_format="pyarrow")
-                .map_batches(
-                    partial(image_sink_task,
-                            fetcher_factory=cfg.fetcher_factory,
-                            client_key=self._client_key,
-                            store_data_uris=cfg.store_data_uris,
-                            seen=self.seen, data_dir=data_dir, rnd=rnd),
-                    batch_format="pyarrow", batch_size=cfg.img_batch)
-            )
-            frag_rows = pipeline.take_all()
+            if released.num_rows <= cfg.inline_round_threshold:
+                # tiny round: same functions, driver-inline — skips the
+                # streaming-execution launch/drain fixed cost
+                ex = parse_page_batch(
+                    released, _cached_client(cfg.fetcher_factory,
+                                             self._client_key),
+                    cfg.site_cfg)
+                g = gate_batch(ex, self.seen, spill_dir=spill_dir,
+                               rnd=rnd, nb=nb)
+                frag_rows = image_sink_task(
+                    _imgs_only(g), fetcher_factory=cfg.fetcher_factory,
+                    client_key=self._client_key,
+                    store_data_uris=cfg.store_data_uris,
+                    seen=self.seen, data_dir=data_dir,
+                    rnd=rnd).to_pylist()
+            else:
+                pipeline = (
+                    fetched
+                    .map_batches(partial(gate_batch, seen=self.seen,
+                                         spill_dir=spill_dir, rnd=rnd,
+                                         nb=nb),
+                                 batch_format="pyarrow")
+                    .map_batches(_imgs_only, batch_format="pyarrow")
+                    .map_batches(
+                        partial(image_sink_task,
+                                fetcher_factory=cfg.fetcher_factory,
+                                client_key=self._client_key,
+                                store_data_uris=cfg.store_data_uris,
+                                seen=self.seen, data_dir=data_dir,
+                                rnd=rnd),
+                        batch_format="pyarrow", batch_size=cfg.img_batch)
+                )
+                frag_rows = pipeline.take_all()
+                self._save_stats(rnd + 1, pipeline, "pipelined round")
             _mark("pipeline")
-            self._save_stats(rnd + 1, pipeline, "pipelined round")
             files = sorted(os.listdir(spill_dir))
             pgf = [os.path.join(spill_dir, f) for f in files
                    if f.startswith("pg-") and f.endswith(".parquet")]
@@ -847,8 +882,7 @@ class Crawler:
             icf = [os.path.join(spill_dir, f) for f in files
                    if f.startswith("ic-") and f.endswith(".parquet")]
             # pages are politeness-bounded (≤ released rows) — driver ok
-            pages = (pa.concat_tables([pq.read_table(p) for p in pgf])
-                     if pgf else EXTRACT.empty_table())
+            pages = (_read_many(pgf) if pgf else EXTRACT.empty_table())
             per_imgs: dict[int, int] = {}
             for p in icf:  # tiny per-bucket img-count partials (lineage)
                 t = pq.read_table(p)
@@ -867,8 +901,7 @@ class Crawler:
             if n_links == 0:
                 pass
             elif n_links <= cfg.release_driver_threshold:
-                links = admit_links_min_seq(
-                    pa.concat_tables([pq.read_table(p) for p in lnf]))
+                links = admit_links_min_seq(_read_many(lnf))
                 links = gate_links_batch(links, self.seen)
                 write_frontier_buckets(
                     to_frontier(links, rnd + 1, cfg.priority_by_depth),
@@ -959,11 +992,20 @@ class Crawler:
 
         # visit log + lineage + seen delta, then ONE atomic commit
         # (next frontier was already written per host bucket above:
-        # deferred rows at release time, novel links at admission time)
-        pq.write_table(
-            pages.select(["url", "host", "status", "seq", "depth", "kind"]),
-            os.path.join(self._rdir(rnd + 1, ""), "visits.parquet"))
-        self._write_seen_delta(rnd + 1)
+        # deferred rows at release time, novel links at admission time).
+        # The visit-log write and the actor-side seen-delta drain are
+        # independent — overlap them; the commit below is the barrier
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as _tp:
+            _fv = _tp.submit(
+                pq.write_table,
+                pages.select(["url", "host", "status", "seq", "depth",
+                              "kind"]),
+                os.path.join(self._rdir(rnd + 1, ""), "visits.parquet"))
+            _fs = _tp.submit(self._write_seen_delta, rnd + 1)
+            _fv.result()
+            _fs.result()
         n_images = sum(r["rows"] for r in frag_rows)
         n_bytes = sum(r["nbytes"] for r in frag_rows)
         # per-partition lineage (north rule): partition = hash(host) % P;
