@@ -352,6 +352,25 @@ def image_sink_task(batch: pa.Table, fetcher_factory, client_key: str,
     return write_fragment(t, data_dir, rnd)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _fine_task_bundling():
+    """Frontier rows are tiny in BYTES but each expands to megabytes of
+    fetch+decode work — Ray's default 1 MiB min-block bundling merges
+    them into few tasks and starves the pool (observed: 41 blocks → 11
+    tasks on a 32-slot round).  Scoped to the crawl's own executions so
+    byte-dense query pipelines keep the default coalescing."""
+    dctx = ray.data.DataContext.get_current()
+    old = dctx.target_min_block_size
+    dctx.target_min_block_size = 1024
+    try:
+        yield
+    finally:
+        dctx.target_min_block_size = old
+
+
 def _read_many(paths: list[str]) -> pa.Table:
     """Concat-read parquet files with a thread pool (pq.read_table
     releases the GIL; serial reads were a visible driver segment)."""
@@ -595,8 +614,10 @@ class CrawlerConfig:
     priority_by_depth: bool = True
     # tiny rounds (seed round, drain tail) run their fetch→gate→sink
     # inline on the driver in pipelined mode: a streaming execution has
-    # ~0.5-1s of fixed launch/drain cost, pure overhead for <256 rows
-    inline_round_threshold: int = 256
+    # ~0.5-1s of fixed launch/drain cost, pure overhead for a handful
+    # of rows.  Kept small: a "row" can carry heavy image work, so
+    # inlining bigger rounds forfeits real parallelism
+    inline_round_threshold: int = 8
     # 'task': map_batches tasks with a per-worker-process memoized fetch
     #   client (setup-once without per-round actor-pool startup latency —
     #   right when client construction is cheap, as with the synthetic
@@ -869,9 +890,16 @@ class Crawler:
                                 store_data_uris=cfg.store_data_uris,
                                 seen=self.seen, data_dir=data_dir,
                                 rnd=rnd),
-                        batch_format="pyarrow", batch_size=cfg.img_batch)
+                        # batch_size=None: Ray fuses this chain into ONE
+                        # operator and bundles input blocks up to the
+                        # LARGEST batch_size — a row target here would
+                        # bundle 32 PAGES per task (4x parallelism loss
+                        # on heavy-image rounds).  The per-page image
+                        # fan-out already sizes this stage's batches.
+                        batch_format="pyarrow", batch_size=None)
                 )
-                frag_rows = pipeline.take_all()
+                with _fine_task_bundling():
+                    frag_rows = pipeline.take_all()
                 self._save_stats(rnd + 1, pipeline, "pipelined round")
             _mark("pipeline")
             files = sorted(os.listdir(spill_dir))
@@ -926,12 +954,13 @@ class Crawler:
                 self._save_stats(rnd + 1, adm, "link admission")
             _mark("admission")
         else:
-            extract = (
-                fetched
-                .map_batches(partial(gate_batch, seen=self.seen),
-                             batch_format="pyarrow")
-                .materialize()
-            )
+            with _fine_task_bundling():
+                extract = (
+                    fetched
+                    .map_batches(partial(gate_batch, seen=self.seen),
+                                 batch_format="pyarrow")
+                    .materialize()
+                )
             ex_tbl = pa.concat_tables(
                 [ray.get(r) for r in extract.to_arrow_refs()],
                 promote_options="default",
@@ -987,7 +1016,8 @@ class Crawler:
                                      rnd=rnd),
                              batch_format="pyarrow")
             )
-            frag_rows = frags.take_all()
+            with _fine_task_bundling():
+                frag_rows = frags.take_all()
             self._save_stats(rnd + 1, frags, "image pipeline")
 
         # visit log + lineage + seen delta, then ONE atomic commit
