@@ -134,3 +134,44 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "fingerprint": pa.array(fps, type=pa.int64()),
     })
+
+
+def _bp(v: float) -> int:
+    """Basis points with round-half-away (matches DuckDB round())."""
+    import math
+
+    return int(math.floor(v * 10000.0 + 0.5))
+
+
+def quality_bp_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """quality_score emitted as integer basis points — exactly
+    reproducible in SQL (both engines divide the same small integers in
+    double and round half-away), so the quality heuristic gets a DuckDB
+    oracle instead of a rows-only check."""
+    rows = {"mwl_bp": [], "punct_bp": [], "stop_bp": [], "score_bp": []}
+    for text in batch.column(text_col).to_pylist():
+        if not text:
+            for k in rows:
+                rows[k].append(0)
+            continue
+        toks = _WORD.findall(text)
+        n = len(text)
+        mwl = (sum(len(t) for t in toks) / len(toks)) if toks else 0.0
+        punct = len(_PUNCT.findall(text)) / n
+        lower = [t.lower() for t in toks]
+        stop = (sum(1 for t in lower if t in _STOPWORDS["en"]) / len(lower)
+                if lower else 0.0)
+        length_ok = min(1.0, len(toks) / 50.0)
+        wl_ok = 1.0 if 3.0 <= mwl <= 10.0 else 0.5
+        punct_ok = 1.0 if punct < 0.2 else 0.5
+        rows["mwl_bp"].append(_bp(mwl))
+        rows["punct_bp"].append(_bp(punct))
+        rows["stop_bp"].append(_bp(stop))
+        rows["score_bp"].append(_bp(length_ok * wl_ok * punct_ok))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "mwl_bp": pa.array(rows["mwl_bp"], type=pa.int64()),
+        "punct_bp": pa.array(rows["punct_bp"], type=pa.int64()),
+        "stop_bp": pa.array(rows["stop_bp"], type=pa.int64()),
+        "score_bp": pa.array(rows["score_bp"], type=pa.int64()),
+    })

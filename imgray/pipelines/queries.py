@@ -392,6 +392,16 @@ def q_quality(sf_dir: str):
     return _collect(ds.map_batches(quality_batch, batch_format="pyarrow"))
 
 
+def q_quality_bp(sf_dir: str):
+    """Quality heuristics in integer basis points (SQL-oracle variant
+    of the rows-only float `quality` query)."""
+    from ..ops.text import quality_bp_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(quality_bp_batch,
+                                   batch_format="pyarrow"))
+
+
 def q_fingerprint(sf_dir: str):
     from ..ops.text import fingerprint_batch
 
@@ -658,6 +668,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "langid": q_langid,
     "quality": q_quality,
+    "quality_bp": q_quality_bp,
     "fingerprint": q_fingerprint,
     "fingerprint_md5": q_fingerprint_md5,
     "crawl_images": q_crawl_images,
@@ -761,6 +772,67 @@ ORACLE_SQL = {
          AND o.o_orderkey = (SELECT min(o3.o_orderkey) FROM orders o3
                              WHERE o3.o_custkey = e.user_id
                                AND o3.o_orderdate = o.o_orderdate)""",
+    "langid": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                     regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '')) AS ts
+          FROM documents),
+        sc AS (
+          SELECT doc_id, len(ts) AS nt,
+            len(list_intersect(ts, ['the','and','of','to','a','in','is',
+                                    'it','that','for'])) / 10.0 AS s_en,
+            len(list_intersect(ts, ['der','die','das','und','ist','nicht',
+                                    'ein','mit','auf'])) / 9.0 AS s_de,
+            len(list_intersect(ts, ['le','la','les','et','est','un','une',
+                                    'dans','pour'])) / 9.0 AS s_fr,
+            len(list_intersect(ts, ['el','la','los','las','y','es','un',
+                                    'una','en','por'])) / 10.0 AS s_es
+          FROM toks)
+        SELECT doc_id,
+          CASE WHEN nt = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                    AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'en' END AS pred_lang
+        FROM sc""",
+    "quality_bp": r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\W+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            len(toks) AS nt,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE list_sum(list_transform(toks, x -> len(x)))
+                      / CAST(len(toks) AS DOUBLE) END AS mwl,
+            CASE WHEN len(text) = 0 THEN 0.0
+                 ELSE len(regexp_extract_all(text, '[^\w\s]'))
+                      / CAST(len(text) AS DOUBLE) END AS punct,
+            CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE len(list_filter(list_transform(toks, x -> lower(x)),
+                          x -> list_contains(['the','and','of','to','a',
+                                              'in','is','it','that','for'],
+                                             x)))
+                      / CAST(len(toks) AS DOUBLE) END AS stop,
+            len(text) AS nc
+          FROM t)
+        SELECT doc_id,
+          CAST(floor(mwl * 10000 + 0.5) AS BIGINT) AS mwl_bp,
+          CAST(floor(punct * 10000 + 0.5) AS BIGINT) AS punct_bp,
+          CAST(floor(stop * 10000 + 0.5) AS BIGINT) AS stop_bp,
+          CASE WHEN nc = 0 THEN 0 ELSE
+            CAST(floor(least(1.0, nt / 50.0)
+                 * (CASE WHEN mwl BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.5 END)
+                 * (CASE WHEN punct < 0.2 THEN 1.0 ELSE 0.5 END)
+                 * 10000 + 0.5) AS BIGINT) END AS score_bp
+        FROM m""",
     "fingerprint_md5": r"""
         SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
                    AS fp
