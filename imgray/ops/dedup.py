@@ -43,18 +43,34 @@ def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]
     return a, b
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """uint64 hash per word n-gram: each distinct TOKEN is blake2b'd
+    once (process-wide cache — corpora repeat words heavily), then the
+    n-gram hash is a vectorized wrapping-uint64 polynomial combine of
+    consecutive token hashes.  ~10x the old per-shingle blake2b with
+    the same uniformity (MinHash only needs a uniform shingle hash)."""
     toks = _WORD.findall(text.lower())
     if len(toks) < n:
         toks = toks + [""] * (n - len(toks))
-    out = np.empty(max(1, len(toks) - n + 1), dtype=np.uint64)
-    for i in range(len(out)):
-        sh = " ".join(toks[i : i + n])
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.blake2b(sh.encode(), digest_size=8).digest(),
-                           "big")
-        )
-    return out
+    cache = _TOKEN_HASH_CACHE
+    th = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            if len(cache) < 1 << 20:  # bound worker memory
+                cache[t] = h
+        th[i] = h
+    m = len(toks) - n + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    P = np.uint64(1099511628211)  # FNV prime (any odd 64-bit constant)
+    for k in range(n):
+        acc = acc * P + th[k:k + m]
+    return acc
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
