@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--burst", type=float, default=16.0)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--fetcher", choices=["synth", "http"], default="synth",
+                    help="synth = deterministic synthetic web; http = real "
+                         "HTTP via imgray.fetchers.HttpFetcher")
+    ap.add_argument("--seeds", nargs="*", default=None,
+                    help="seed URLs (http fetcher; synth derives its own)")
+    ap.add_argument("--site-config", default=None,
+                    help="path to a reference-format web.json (http mode)")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local mode only; ignored under ray job submit")
     args = ap.parse_args()
@@ -52,20 +59,35 @@ def main() -> None:
     from imgray.crawler import Crawler, CrawlerConfig, make_synth_fetcher
     from imgray.synthweb import default_spec, seeds, site_config
 
-    spec = default_spec(scale=args.scale, seed=args.seed,
-                        img_scale=args.img_scale,
-                        hot_albums=args.hot_albums)
-    cfg = CrawlerConfig(
-        root=args.root,
-        fetcher_factory=partial(make_synth_fetcher, spec),
-        site_cfg=site_config(spec),
-        rate_per_round=args.rate, burst=args.burst,
-    )
+    if args.fetcher == "http":
+        from imgray.fetchers import HttpFetcher
+
+        site_cfg = []
+        if args.site_config:
+            site_cfg = json.load(open(args.site_config))
+        cfg = CrawlerConfig(
+            root=args.root,
+            fetcher_factory=HttpFetcher,
+            site_cfg=site_cfg,
+            rate_per_round=args.rate, burst=args.burst,
+        )
+        seed_urls = args.seeds or []
+    else:
+        spec = default_spec(scale=args.scale, seed=args.seed,
+                            img_scale=args.img_scale,
+                            hot_albums=args.hot_albums)
+        cfg = CrawlerConfig(
+            root=args.root,
+            fetcher_factory=partial(make_synth_fetcher, spec),
+            site_cfg=site_config(spec),
+            rate_per_round=args.rate, burst=args.burst,
+        )
+        seed_urls = seeds(spec)
     cr = Crawler(cfg)
     if args.resume and cr.sink.exists() and cr.resume():
         print(f"resuming from round {cr.round}", file=sys.stderr)
     else:
-        cr.seed(seeds(spec))
+        cr.seed(seed_urls)
     t0 = time.time()
     stats = cr.run()
     stats["wall_s"] = round(time.time() - t0, 3)
