@@ -215,6 +215,10 @@ def decode_image(data: bytes) -> np.ndarray:
         from .jpegcodec import jpeg_decode
 
         return jpeg_decode(data)
+    if fmt == "gif":
+        from .gifcodec import gif_decode
+
+        return gif_decode(data)
     raise ValueError(f"cannot decode format {fmt or 'unknown'}")
 
 
@@ -229,6 +233,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         from .jpegcodec import jpeg_encode
 
         return jpeg_encode(img)
+    if fmt == "gif":
+        from .gifcodec import gif_encode
+
+        return gif_encode(img)
     raise ValueError(f"cannot encode format {fmt}")
 
 

