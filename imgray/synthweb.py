@@ -65,6 +65,10 @@ class WebSpec:
     seed: int = 42
     hosts: list[HostSpec] = field(default_factory=list)
     img_scale: int = 1  # multiplies generated image dimensions (bench knob)
+    # opt-in: rotate .jpg/.gif into the image-URL algebra so the JPEG
+    # and GIF codecs run end-to-end through the engine (off by default
+    # to keep the round-1 fixtures/bench byte-identical)
+    mixed_formats: bool = False
 
 
 def default_spec(scale: int = 1, seed: int = 42, img_scale: int = 1,
@@ -193,15 +197,22 @@ class SynthWeb:
         if path.startswith("/raw/"):
             return Response(200, C.png_encode(img), "image/png")
         ext = name.rsplit(".", 1)[-1] if "." in name else "png"
-        fmt = {"png": "png", "bmp": "bmp", "lsy": "lsy"}.get(ext, "png")
-        ctype = {"png": "image/png", "bmp": "image/bmp", "lsy": "image/lsy"}[fmt]
+        fmt = {"png": "png", "bmp": "bmp", "lsy": "lsy",
+               "jpg": "jpg", "gif": "gif"}.get(ext, "png")
+        ctype = {"png": "image/png", "bmp": "image/bmp",
+                 "lsy": "image/lsy", "jpg": "image/jpeg",
+                 "gif": "image/gif"}[fmt]
         return Response(200, C.encode_image(img, fmt), ctype)
 
     # ------------------------------------------------------------ pages
     def _img_url(self, hname: str, aid: str, p: int, k: int) -> str:
         """One image URL, form rotated by k to cover the URL algebra."""
         tok = f"{hname.split('.')[0]}-{aid}p{p}i{k}"
-        form = k % 6
+        form = k % (8 if self.spec.mixed_formats else 6)
+        if form == 6:
+            return f"https://{CDN}/img/{tok}.jpg"
+        if form == 7:
+            return f"https://{CDN}/img/{tok}.gif"
         if form == 0:
             return f"https://{CDN}/img/{tok}.png"
         if form == 1:

@@ -197,3 +197,40 @@ def test_diamond_link_deterministic(ray_session, tmp_path_factory,
         cr.run()
         assert cr.visit_order() == ref.visit_order
         assert cr.seen_urls() == ref.seen
+
+
+def test_mixed_format_crawl_parity(ray_session, tmp_path_factory):
+    """JPEG and GIF end-to-end through the engine: with
+    spec.mixed_formats the image-URL algebra rotates .jpg/.gif in, the
+    synthetic web encodes them with the from-scratch codecs, and the
+    stored rows (bytes, w/h, pHash from the decode path) must still
+    match the sequential oracle per-row."""
+    spec = default_spec(scale=1)
+    spec.hosts = [h for h in spec.hosts
+                  if h.name.split(".")[0] in ("lazy0", "css0")]
+    for h in spec.hosts:
+        h.imgs = 10  # reach URL forms 6 (.jpg) and 7 (.gif)
+    spec.mixed_formats = True
+    sd = [s for s in seeds(default_spec(scale=1))
+          if any(h.name in s for h in spec.hosts)]
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(sd)
+    fmts = {v["bytes"][:3] for v in ref.images.values()}
+    assert b"\xff\xd8\xff" in fmts  # oracle corpus really contains JPEG
+    assert any(m.startswith(b"GIF") for m in fmts)
+
+    cr = Crawler(CrawlerConfig(
+        root=str(tmp_path_factory.mktemp("mixed")),
+        fetcher_factory=partial(make_synth_fetcher, spec),
+        site_cfg=site_config(spec)))
+    cr.seed(sd)
+    cr.run()
+    assert cr.visit_order() == ref.visit_order
+    got = {r["image_id"]: r["bytes"] for r in cr.images_table().to_pylist()}
+    assert got == {k: v["bytes"] for k, v in ref.images.items()}
+    # decoded metadata is real (jpeg/gif went through the decoders)
+    t = cr.images_table()
+    fmt_col = set(t.column("fmt").to_pylist())
+    assert {"jpg", "gif"} <= fmt_col
+    for r in t.to_pylist():
+        if r["fmt"] in ("jpg", "gif"):
+            assert r["w"] > 0 and r["h"] > 0
