@@ -234,3 +234,41 @@ def test_mixed_format_crawl_parity(ray_session, tmp_path_factory):
     for r in t.to_pylist():
         if r["fmt"] in ("jpg", "gif"):
             assert r["w"] > 0 and r["h"] > 0
+
+
+def test_hot_host_skew_parity(ray_session, tmp_path_factory):
+    """North-rule skew mitigation: one host owning ~97% of the frontier
+    (hot.example with 300 albums vs two small hosts) must neither stall
+    the engine nor perturb determinism — full oracle parity, and the
+    hot host's released rows must spread across MANY fetch tasks (the
+    hot-host split), not serialize on one."""
+    spec = default_spec(scale=1, hot_albums=300)
+    spec.hosts = [h for h in spec.hosts
+                  if h.name in ("hot.example", "plain0.example",
+                                "css0.example")]
+    sd = [s for s in seeds(default_spec(scale=1, hot_albums=300))
+          if any(h.name in s for h in spec.hosts)]
+    ref = RefSim(SynthWeb(spec), site_config(spec)).crawl(sd)
+    root = str(tmp_path_factory.mktemp("hot"))
+    cr = Crawler(CrawlerConfig(
+        root=root, fetcher_factory=partial(make_synth_fetcher, spec),
+        site_cfg=site_config(spec),
+        rate_per_round=1e6, burst=1e6,   # politeness not the limiter
+        strict_name_dedup=False))
+    cr.seed(sd)
+    cr.run()
+    assert cr.visit_order() == ref.visit_order
+    assert cr.seen_urls() == ref.seen
+    got = {r["image_id"]: r["bytes"] for r in cr.images_table().to_pylist()}
+    assert got == {k: v["bytes"] for k, v in ref.images.items()}
+    # skew evidence: the hot round ran as many tasks, not one giant one
+    import os
+    import re
+    ntasks = []
+    for r in range(cr.round + 1):
+        p = os.path.join(cr.ckpt, f"round-{r:04d}", "stats.txt")
+        if os.path.exists(p):
+            ntasks += [int(m) for m in re.findall(
+                r"MapBatches\(parse_page_task\).*?(\d+) tasks executed",
+                open(p).read())]
+    assert max(ntasks) >= 8, ntasks  # hot host split across tasks
