@@ -87,7 +87,8 @@ def run_crawl(num_cpus: int) -> dict:
         img_concurrency=max(2, num_cpus - 2),
         fetch_batch=8,
         img_batch=32,
-        strict_name_dedup=False,  # throughput config (see CrawlerConfig)
+        # default config IS the streaming scale path now (strict name
+        # dedup runs in-pipeline via the claim gate — VERDICT r2 #1)
     )
     cr = Crawler(cfg)
     cr.seed(seeds(spec))

@@ -8,10 +8,11 @@ becomes BSP crawl rounds over a checkpointed frontier:
       released ─▶ map_batches(PageParser pool)   fetch + extract in ONE
         stage: HTML never crosses a stage boundary (project early —
         SURVEY.md §4 memory row)
-      ─▶ map_batches(seen gate: ShardedSeen cuckoo actors, batched)
-      ─▶ img rows ─ map_batches(ImageWorker pool) fetch/decode/pHash
-      ─▶ groupby(image_id) min-seq dedup ─ written-id gate
-      ─▶ map_batches(fragment writer) → Lance-shaped sink
+      ─▶ map_batches(seen gate: ShardedSeen cuckoo actors, batched;
+          page/link rows spill to parquet side files worker-side)
+      ─▶ img rows ─ map_batches(fused image sink) fetch/decode/pHash +
+          min-seq claim gate + fragment write in ONE task; contested
+          name claims repaired at finalize (rare) → Lance-shaped sink
       deferred ∪ novel links ──write_parquet──▶ ckpt/round-(r+1)/frontier/
       single atomic commit per round: sink manifest records the
       checkpoint → resume = read latest manifest (north rule).
@@ -321,35 +322,38 @@ def image_batch(batch: pa.Table, fetch, store_data_uris: bool) -> pa.Table:
     return S.table_from_rows(IMG_OUT, out)
 
 
-class ImageWorker:
-    """Image fetch/decode/pHash actor (actor-pool mode)."""
-
-    def __init__(self, fetcher_factory, store_data_uris: bool = True):
-        self.fetch = fetcher_factory()
-        self.store_data_uris = store_data_uris
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return image_batch(batch, self.fetch, self.store_data_uris)
-
-
-def image_task(batch: pa.Table, fetcher_factory, client_key: str,
-               store_data_uris: bool) -> pa.Table:
-    """Task-mode stage: client memoized per worker process."""
-    return image_batch(batch, _cached_client(fetcher_factory, client_key),
-                       store_data_uris)
+def _image_sink(batch: pa.Table, fetch, store_data_uris: bool, seen,
+                data_dir: str, rnd: int, strict: bool) -> pa.Table:
+    """Fused fetch→decode→gate→fragment-write: image bytes never
+    re-enter the object store between sub-steps (single task, single
+    local write) — the hot-path fusion the streaming executor can't
+    guarantee across differing map args.  ``strict`` selects the
+    seq-aware claim gate (min-seq --no-clobber name dedup, repaired at
+    round finalize if a smaller seq arrives after a provisional winner
+    was written) over the plain first-come written gate."""
+    t = image_batch(batch, fetch, store_data_uris)
+    t = claim_gate(t, seen, rnd) if strict else written_gate(t, seen)
+    return write_fragment(t, data_dir, rnd)
 
 
 def image_sink_task(batch: pa.Table, fetcher_factory, client_key: str,
                     store_data_uris: bool, seen, data_dir: str,
-                    rnd: int) -> pa.Table:
-    """Fused fetch→decode→gate→fragment-write stage: image bytes never
-    re-enter the object store between sub-steps (single task, single
-    local write) — the hot-path fusion the streaming executor can't
-    guarantee across differing map args."""
-    t = image_batch(batch, _cached_client(fetcher_factory, client_key),
-                    store_data_uris)
-    t = written_gate(t, seen)
-    return write_fragment(t, data_dir, rnd)
+                    rnd: int, strict: bool = False) -> pa.Table:
+    """Task-mode fused image sink: client memoized per worker process."""
+    return _image_sink(batch, _cached_client(fetcher_factory, client_key),
+                       store_data_uris, seen, data_dir, rnd, strict)
+
+
+class ImageSink:
+    """Actor-pool fused image sink (heavy per-worker state mode)."""
+
+    def __init__(self, fetcher_factory, store_data_uris: bool, seen,
+                 data_dir: str, rnd: int, strict: bool):
+        self.fetch = fetcher_factory()
+        self.args = (store_data_uris, seen, data_dir, rnd, strict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _image_sink(batch, self.fetch, *self.args)
 
 
 import contextlib
@@ -543,18 +547,40 @@ def written_gate(batch: pa.Table, seen: ShardedSeen) -> pa.Table:
     return batch.filter(pa.array(novel))
 
 
+def claim_gate(batch: pa.Table, seen: ShardedSeen, rnd: int) -> pa.Table:
+    """Strict min-seq written gate: rows keep flowing the moment they
+    claim-win; if a smaller-seq discovery of the same image_id lands
+    later in the round, the seen shard records the key as contested and
+    the provisional winner's fragment row is dropped at finalize —
+    first-wins parity (ref src/main.rs:16) without a groupby(image_id)
+    byte shuffle or a round barrier."""
+    if batch.num_rows == 0:
+        return batch
+    ids = batch.column("image_id").to_pylist()
+    wins = seen.claim_min(["w:" + i for i in ids],
+                          batch.column("seq").to_pylist(), rnd)
+    return batch.filter(pa.array(wins))
+
+
 def write_fragment(batch: pa.Table, data_dir: str, rnd: int) -> pa.Table:
     """Distributed sink write: each block becomes one immutable fragment
-    file; paths flow back for the driver's atomic manifest commit."""
+    file; paths flow back for the driver's atomic manifest commit.
+    Fragments carry the provenance ``seq`` column (dropped by the sink's
+    schema projection on read) so contested-name repair can identify
+    losing rows without re-deriving anything."""
     if batch.num_rows == 0:
         return pa.table({"path": pa.array([], type=pa.string()),
                          "rows": pa.array([], type=pa.int64()),
                          "nbytes": pa.array([], type=pa.int64())})
-    tbl = batch.select([f.name for f in S.IMAGES])
+    tbl = batch.select([f.name for f in S.IMAGES] + ["seq"])
     ids = batch.column("image_id")
+    sq = batch.column("seq")
+    # seqs are globally unique per row (image_id is NOT unique across
+    # blocks under the claim gate: the same id can be provisionally
+    # written twice before finalize repair) — name by id+seq endpoints
     name = hashlib.blake2b(
-        "|".join((ids[0].as_py(), ids[-1].as_py(),
-                  str(batch.num_rows))).encode(),
+        "|".join((ids[0].as_py(), sq[0].as_py(), ids[-1].as_py(),
+                  sq[-1].as_py(), str(batch.num_rows))).encode(),
         digest_size=8).hexdigest()
     # one fragment-layout implementation: reuse the sink's staging
     # protocol (tmp write + atomic rename under <root>/data/)
@@ -585,9 +611,13 @@ class CrawlerConfig:
     img_concurrency: int = 4
     img_batch: int = 64
     max_rounds: int = 200
-    # strict within-round image_id name-collision dedup (groupby shuffle);
-    # off ⇒ collisions across *different* URLs resolve first-come (the
-    # (album,url,caption) gate still dedups exactly) — a throughput knob
+    # strict within-round image_id name-collision dedup: the fused image
+    # sink claims each id with its seq on the seen shards (min-seq wins,
+    # ref --no-clobber src/main.rs:16) and rare contested fragments are
+    # repaired at round finalize — runs INSIDE the streaming pipeline,
+    # no extra shuffle.  Off ⇒ collisions across *different* URLs
+    # resolve first-come (the (album,url,caption) gate still dedups
+    # exact duplicates)
     strict_name_dedup: bool = True
     # frontier release / link admission: below this row count they run
     # driver-side (same politeness actors / same min-seq semantics, no
@@ -761,6 +791,41 @@ class Crawler:
         return frontier.append_column(VERDICT,
                                       pa.array(verdicts, type=pa.string()))
 
+    def _repair_contested(self, frag_rows: list[dict],
+                          contested: dict[str, str]) -> list[dict]:
+        """Strict name-dedup finalize: rewrite (rare) fragments holding a
+        row whose image_id was superseded by a smaller-seq claim, keeping
+        only the winning row.  Reads only (image_id, seq) columns to find
+        affected fragments; runs before the round's manifest commit, so
+        readers never see a losing row."""
+        out: list[dict] = []
+        for r in frag_rows:
+            full = os.path.join(self.sink.root, r["path"])
+            meta = pq.read_table(full, columns=["image_id", "seq"])
+            losers = [
+                i for i, (iid, sq) in enumerate(zip(
+                    meta.column("image_id").to_pylist(),
+                    meta.column("seq").to_pylist()))
+                if contested.get("w:" + iid) not in (None, sq)
+            ]
+            if not losers:
+                out.append(r)
+                continue
+            tbl = pq.read_table(full)
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            keep[losers] = False
+            tbl = tbl.filter(pa.array(keep))
+            if tbl.num_rows == 0:
+                os.unlink(full)
+                continue
+            hint = os.path.basename(r["path"])[len("frag-"):-len(".parquet")]
+            self.sink.stage_fragment(tbl, hint)  # atomic same-name rewrite
+            nb = int(pc.sum(pc.binary_length(tbl.column("bytes")))
+                     .as_py() or 0)
+            out.append({"path": r["path"], "rows": tbl.num_rows,
+                        "nbytes": nb})
+        return out
+
     def run_round(self) -> dict:
         cfg = self.cfg
         rnd = self.round
@@ -845,180 +910,130 @@ class Crawler:
                         client_key=self._client_key, site_cfg=cfg.site_cfg),
                 batch_format="pyarrow", batch_size=cfg.fetch_batch)
         data_dir = self.sink.data_dir
-        pipelined = (cfg.stage_mode != "actor"
-                     and not cfg.strict_name_dedup)
+        strict = cfg.strict_name_dedup
         frag_rows: list[dict] = []
-        if pipelined:
-            # single streaming execution per round: fetch+extract, gate
-            # (spilling page/link rows to parquet side files) and the
-            # fused image decode→gate→write all overlap — pages are
-            # still being fetched while earlier pages' images decode
-            spill_dir = self._rdir(rnd + 1, "extract")
-            for f in os.listdir(spill_dir):  # stale files from a crash
-                os.unlink(os.path.join(spill_dir, f))
+        # single streaming execution per round: fetch+extract, gate
+        # (spilling page/link rows to parquet side files) and the fused
+        # image decode→gate→write all overlap — pages are still being
+        # fetched while earlier pages' images decode.  This is the ONLY
+        # crawl path: strict min-seq name dedup runs inside it via the
+        # seq-aware claim gate + finalize repair (no driver materialize,
+        # no groupby(image_id) byte shuffle — VERDICT r2 #1)
+        spill_dir = self._rdir(rnd + 1, "extract")
+        for f in os.listdir(spill_dir):  # stale files from a crash
+            os.unlink(os.path.join(spill_dir, f))
 
-            def _imgs_only(b: pa.Table) -> pa.Table:
-                return b.filter(pc.equal(b.column("row_kind"), "img"))
+        def _imgs_only(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("row_kind"), "img"))
 
-            if released.num_rows <= cfg.inline_round_threshold:
-                # tiny round: same functions, driver-inline — skips the
-                # streaming-execution launch/drain fixed cost
-                ex = parse_page_batch(
-                    released, _cached_client(cfg.fetcher_factory,
-                                             self._client_key),
-                    cfg.site_cfg)
-                g = gate_batch(ex, self.seen, spill_dir=spill_dir,
-                               rnd=rnd, nb=nb)
-                frag_rows = image_sink_task(
-                    _imgs_only(g), fetcher_factory=cfg.fetcher_factory,
-                    client_key=self._client_key,
-                    store_data_uris=cfg.store_data_uris,
-                    seen=self.seen, data_dir=data_dir,
-                    rnd=rnd).to_pylist()
-            else:
-                pipeline = (
-                    fetched
-                    .map_batches(partial(gate_batch, seen=self.seen,
-                                         spill_dir=spill_dir, rnd=rnd,
-                                         nb=nb),
-                                 batch_format="pyarrow")
-                    .map_batches(_imgs_only, batch_format="pyarrow")
-                    .map_batches(
-                        partial(image_sink_task,
-                                fetcher_factory=cfg.fetcher_factory,
-                                client_key=self._client_key,
-                                store_data_uris=cfg.store_data_uris,
-                                seen=self.seen, data_dir=data_dir,
-                                rnd=rnd),
-                        # batch_size=None: Ray fuses this chain into ONE
-                        # operator and bundles input blocks up to the
-                        # LARGEST batch_size — a row target here would
-                        # bundle 32 PAGES per task (4x parallelism loss
-                        # on heavy-image rounds).  The per-page image
-                        # fan-out already sizes this stage's batches.
-                        batch_format="pyarrow", batch_size=None)
-                )
-                with _fine_task_bundling():
-                    frag_rows = pipeline.take_all()
-                self._save_stats(rnd + 1, pipeline, "pipelined round")
-            _mark("pipeline")
-            files = sorted(os.listdir(spill_dir))
-            pgf = [os.path.join(spill_dir, f) for f in files
-                   if f.startswith("pg-") and f.endswith(".parquet")]
-            lnf = [os.path.join(spill_dir, f) for f in files
-                   if f.startswith("ln-") and f.endswith(".parquet")]
-            icf = [os.path.join(spill_dir, f) for f in files
-                   if f.startswith("ic-") and f.endswith(".parquet")]
-            # pages are politeness-bounded (≤ released rows) — driver ok
-            pages = (_read_many(pgf) if pgf else EXTRACT.empty_table())
-            per_imgs: dict[int, int] = {}
-            for p in icf:  # tiny per-bucket img-count partials (lineage)
-                t = pq.read_table(p)
-                for bk, n in zip(t.column("bucket").to_pylist(),
-                                 t.column("n").to_pylist()):
-                    per_imgs[bk] = per_imgs.get(bk, 0) + n
-            imgs = None  # img rows never reach the driver in this mode
-            _mark("spill_read")
-
-            # link admission: DFS-first min-seq per URL + novelty gate.
-            # Small rounds run it vectorized on the driver; large rounds
-            # as a distributed groupby(url) whose terminal stage writes
-            # the next frontier per host bucket from the workers — link
-            # rows never concatenate on the driver (VERDICT r1 #2/#3)
-            n_links = sum(pq.read_metadata(p).num_rows for p in lnf)
-            if n_links == 0:
-                pass
-            elif n_links <= cfg.release_driver_threshold:
-                links = admit_links_min_seq(_read_many(lnf))
-                links = gate_links_batch(links, self.seen)
-                write_frontier_buckets(
-                    to_frontier(links, rnd + 1, cfg.priority_by_depth),
-                    next_fdir, "links-d", nb)
-            else:
-                adm = (
-                    ray.data.read_parquet(lnf)
-                    .map_batches(admit_links_min_seq,
-                                 batch_format="pyarrow")
-                    .groupby("url")
-                    .map_groups(dedup_min_seq, batch_format="pyarrow")
-                    .map_batches(partial(gate_links_batch, seen=self.seen),
-                                 batch_format="pyarrow")
-                    .map_batches(
-                        partial(links_frontier_write, fdir=next_fdir,
-                                rnd=rnd + 1,
-                                priority_by_depth=cfg.priority_by_depth,
-                                nb=nb),
-                        batch_format="pyarrow")
-                )
-                adm.take_all()
-                self._save_stats(rnd + 1, adm, "link admission")
-            _mark("admission")
+        if released.num_rows <= cfg.inline_round_threshold:
+            # tiny round: same functions, driver-inline — skips the
+            # streaming-execution launch/drain fixed cost
+            ex = parse_page_batch(
+                released, _cached_client(cfg.fetcher_factory,
+                                         self._client_key),
+                cfg.site_cfg)
+            g = gate_batch(ex, self.seen, spill_dir=spill_dir,
+                           rnd=rnd, nb=nb)
+            frag_rows = image_sink_task(
+                _imgs_only(g), fetcher_factory=cfg.fetcher_factory,
+                client_key=self._client_key,
+                store_data_uris=cfg.store_data_uris,
+                seen=self.seen, data_dir=data_dir,
+                rnd=rnd, strict=strict).to_pylist()
         else:
+            gated = fetched.map_batches(
+                partial(gate_batch, seen=self.seen, spill_dir=spill_dir,
+                        rnd=rnd, nb=nb),
+                batch_format="pyarrow",
+            ).map_batches(_imgs_only, batch_format="pyarrow")
+            if cfg.stage_mode == "actor":
+                pipeline = gated.map_batches(
+                    ImageSink, batch_format="pyarrow",
+                    batch_size=None,
+                    concurrency=(1, cfg.img_concurrency),
+                    fn_constructor_args=(cfg.fetcher_factory,
+                                         cfg.store_data_uris, self.seen,
+                                         data_dir, rnd, strict))
+            else:
+                pipeline = gated.map_batches(
+                    partial(image_sink_task,
+                            fetcher_factory=cfg.fetcher_factory,
+                            client_key=self._client_key,
+                            store_data_uris=cfg.store_data_uris,
+                            seen=self.seen, data_dir=data_dir,
+                            rnd=rnd, strict=strict),
+                    # batch_size=None: Ray fuses this chain into ONE
+                    # operator and bundles input blocks up to the
+                    # LARGEST batch_size — a row target here would
+                    # bundle 32 PAGES per task (4x parallelism loss
+                    # on heavy-image rounds).  The per-page image
+                    # fan-out already sizes this stage's batches.
+                    batch_format="pyarrow", batch_size=None)
             with _fine_task_bundling():
-                extract = (
-                    fetched
-                    .map_batches(partial(gate_batch, seen=self.seen),
-                                 batch_format="pyarrow")
-                    .materialize()
-                )
-            ex_tbl = pa.concat_tables(
-                [ray.get(r) for r in extract.to_arrow_refs()],
-                promote_options="default",
-            )
-            self._save_stats(rnd + 1, extract, "fetch+extract")
-            if ex_tbl.num_rows == 0:
-                ex_tbl = EXTRACT.empty_table()
-            pages = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"),
-                                           "page"))
-            links = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"),
-                                           "link"))
-            imgs = ex_tbl.filter(pc.equal(ex_tbl.column("row_kind"),
-                                          "img"))
-            per_imgs = self._bucket_counts(imgs)
+                frag_rows = pipeline.take_all()
+            self._save_stats(rnd + 1, pipeline, "pipelined round")
+        _mark("pipeline")
+        files = sorted(os.listdir(spill_dir))
+        pgf = [os.path.join(spill_dir, f) for f in files
+               if f.startswith("pg-") and f.endswith(".parquet")]
+        lnf = [os.path.join(spill_dir, f) for f in files
+               if f.startswith("ln-") and f.endswith(".parquet")]
+        icf = [os.path.join(spill_dir, f) for f in files
+               if f.startswith("ic-") and f.endswith(".parquet")]
+        # pages are politeness-bounded (≤ released rows) — driver ok
+        pages = (_read_many(pgf) if pgf else EXTRACT.empty_table())
+        per_imgs: dict[int, int] = {}
+        for p in icf:  # tiny per-bucket img-count partials (lineage)
+            t = pq.read_table(p)
+            for bk, n in zip(t.column("bucket").to_pylist(),
+                             t.column("n").to_pylist()):
+                per_imgs[bk] = per_imgs.get(bk, 0) + n
+        _mark("spill_read")
 
-            # deterministic link admission: min-seq per URL (vectorized,
-            # no per-URL driver loop), then ONE batched seen-gate call
-            if links.num_rows:
-                links = gate_links_batch(admit_links_min_seq(links),
-                                         self.seen)
+        # link admission: DFS-first min-seq per URL + novelty gate.
+        # Small rounds run it vectorized on the driver; large rounds
+        # as a distributed groupby(url) whose terminal stage writes
+        # the next frontier per host bucket from the workers — link
+        # rows never concatenate on the driver (VERDICT r1 #2/#3)
+        n_links = sum(pq.read_metadata(p).num_rows for p in lnf)
+        if n_links == 0:
+            pass
+        elif n_links <= cfg.release_driver_threshold:
+            links = admit_links_min_seq(_read_many(lnf))
+            links = gate_links_batch(links, self.seen)
             write_frontier_buckets(
                 to_frontier(links, rnd + 1, cfg.priority_by_depth),
                 next_fdir, "links-d", nb)
-
-        # non-pipelined: image fetch → decode → (strict min-seq dedup) →
-        # written gate → distributed fragment write
-        if not pipelined and imgs.num_rows:
-            img_ds = _from_arrow_split(
-                imgs, max(1, min(4 * cfg.img_concurrency,
-                                 -(-imgs.num_rows // cfg.img_batch))))
-            if cfg.stage_mode == "actor":
-                frags = img_ds.map_batches(
-                    ImageWorker, batch_format="pyarrow",
-                    batch_size=cfg.img_batch,
-                    concurrency=(1, cfg.img_concurrency),
-                    fn_constructor_args=(cfg.fetcher_factory,
-                                         cfg.store_data_uris))
-            else:
-                frags = img_ds.map_batches(
-                    partial(image_task,
-                            fetcher_factory=cfg.fetcher_factory,
-                            client_key=self._client_key,
-                            store_data_uris=cfg.store_data_uris),
-                    batch_format="pyarrow", batch_size=cfg.img_batch)
-            if cfg.strict_name_dedup:
-                frags = frags.groupby("image_id").map_groups(
-                    dedup_min_seq, batch_format="pyarrow")
-            frags = (
-                frags
-                .map_batches(partial(written_gate, seen=self.seen),
+        else:
+            adm = (
+                ray.data.read_parquet(lnf)
+                .map_batches(admit_links_min_seq,
                              batch_format="pyarrow")
-                .map_batches(partial(write_fragment, data_dir=data_dir,
-                                     rnd=rnd),
+                .groupby("url")
+                .map_groups(dedup_min_seq, batch_format="pyarrow")
+                .map_batches(partial(gate_links_batch, seen=self.seen),
                              batch_format="pyarrow")
+                .map_batches(
+                    partial(links_frontier_write, fdir=next_fdir,
+                            rnd=rnd + 1,
+                            priority_by_depth=cfg.priority_by_depth,
+                            nb=nb),
+                    batch_format="pyarrow")
             )
-            with _fine_task_bundling():
-                frag_rows = frags.take_all()
-            self._save_stats(rnd + 1, frags, "image pipeline")
+            adm.take_all()
+            self._save_stats(rnd + 1, adm, "link admission")
+        _mark("admission")
+
+        if strict:
+            # finalize the min-seq name dedup: drop provisionally-written
+            # rows whose image_id was later claimed by a smaller seq.
+            # Collisions are rare — the common round drains an empty dict
+            # and touches no fragment
+            contested = self.seen.drain_contested()
+            if contested:
+                frag_rows = self._repair_contested(frag_rows, contested)
+            _mark("repair")
 
         # visit log + lineage + seen delta, then ONE atomic commit
         # (next frontier was already written per host bucket above:

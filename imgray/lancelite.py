@@ -124,9 +124,13 @@ class LanceLite:
 
     def to_table(self, version: int | None = None) -> pa.Table:
         paths = self.fragment_paths(version)
+        schema = self.schema()
         if not paths:
-            return self.schema().empty_table()
-        return pa.concat_tables([pq.read_table(p) for p in paths])
+            return schema.empty_table()
+        # project to the manifest schema: fragments may carry extra
+        # provenance columns (e.g. the crawler's per-row seq)
+        return pa.concat_tables(
+            [pq.read_table(p, columns=list(schema.names)) for p in paths])
 
     def to_ray(self, version: int | None = None):
         """ray.data.Dataset over the committed fragments (streaming read)."""
@@ -135,7 +139,7 @@ class LanceLite:
         paths = self.fragment_paths(version)
         if not paths:
             return ray.data.from_arrow(self.schema().empty_table())
-        return ray.data.read_parquet(paths)
+        return ray.data.read_parquet(paths, columns=list(self.schema().names))
 
     def count_rows(self, version: int | None = None) -> int:
         return sum(pq.read_metadata(p).num_rows for p in self.fragment_paths(version))

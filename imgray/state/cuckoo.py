@@ -124,6 +124,11 @@ class SeenShard:
         # own earlier inserts as duplicates (rows would silently drop)
         self.memo: dict[str, list[bool]] = {}
         self.memo_order: list[str] = []
+        # claim_min state: key → (round, winning seq); contested = keys
+        # where a later-arriving smaller seq displaced an already-granted
+        # winner within the current round (their fragments need repair)
+        self.claims: dict[str, tuple[int, str]] = {}
+        self.contested: set[str] = set()
 
     def check_and_insert(self, keys: list[str],
                          batch_id: str | None = None) -> list[bool]:
@@ -150,6 +155,57 @@ class SeenShard:
             if len(self.memo_order) > self.MEMO_CAP:
                 old = self.memo_order.pop(0)
                 self.memo.pop(old, None)
+        return out
+
+    def claim_min(self, keys: list[str], seqs: list[str], rnd: int,
+                  batch_id: str | None = None) -> list[bool]:
+        """Seq-aware first-wins claim (strict --no-clobber name dedup in
+        the streaming pipeline, ref src/main.rs:16): for each (key, seq)
+        return True iff this claim currently WINS the key — first claim
+        of a round wins provisionally; a later claim with a *smaller*
+        seq supersedes it (the key is recorded as contested so the
+        already-written loser row can be dropped at round finalize);
+        claims from later rounds always lose (first-round-wins, same
+        rule the plain written-gate enforced).  Re-claiming the exact
+        winning (key, seq) returns True again → task-retry idempotent
+        even without the memo (finalize repair makes any stale loser row
+        harmless)."""
+        if batch_id is not None and batch_id in self.memo:
+            return self.memo[batch_id]
+        out = []
+        for k, s in zip(keys, seqs):
+            c = self.claims.get(k)
+            if c is None:
+                if self.cf.contains_hash(_hash64(k)) and k in self.exact:
+                    out.append(False)  # won in a committed earlier round
+                else:
+                    self.claims[k] = (rnd, s)
+                    self.cf.insert_hash(_hash64(k))
+                    self.exact.add(k)
+                    self.delta.append(k)
+                    out.append(True)
+            else:
+                r0, s0 = c
+                if rnd != r0 or s > s0:
+                    out.append(False)
+                elif s == s0:
+                    out.append(True)  # retry replay of the current winner
+                else:  # s < s0: supersede the provisional winner
+                    self.claims[k] = (rnd, s)
+                    self.contested.add(k)
+                    out.append(True)
+        if batch_id is not None:
+            self.memo[batch_id] = out
+            self.memo_order.append(batch_id)
+            if len(self.memo_order) > self.MEMO_CAP:
+                old = self.memo_order.pop(0)
+                self.memo.pop(old, None)
+        return out
+
+    def drain_contested(self) -> dict[str, str]:
+        """Contested keys of the round being finalized → winning seq."""
+        out = {k: self.claims[k][1] for k in self.contested}
+        self.contested = set()
         return out
 
     def restore(self, keys: list[str]) -> int:
@@ -243,6 +299,40 @@ class ShardedSeen:
         for s, idxs in by.items():
             for i, novel in zip(idxs, ray.get(futs[s])):
                 out[i] = novel
+        return out
+
+    def claim_min(self, keys: list[str], seqs: list[str],
+                  rnd: int) -> list[bool]:
+        """Batched seq-aware first-wins claim (see SeenShard.claim_min);
+        same per-(task, sub-batch) idempotence memo as check_and_insert."""
+        if not keys:
+            return []
+        scope = self._task_scope()
+        by = self._route(keys)
+        futs = {}
+        for s, idxs in by.items():
+            sub_k = [keys[i] for i in idxs]
+            sub_s = [seqs[i] for i in idxs]
+            bid = None
+            if scope is not None:
+                h = hashlib.blake2b(scope.encode(), digest_size=12)
+                for k, sq in zip(sub_k, sub_s):
+                    h.update(k.encode())
+                    h.update(b"\x00")
+                    h.update(sq.encode())
+                    h.update(b"\x00")
+                bid = "c" + h.hexdigest()
+            futs[s] = self.shards[s].claim_min.remote(sub_k, sub_s, rnd, bid)
+        out = [False] * len(keys)
+        for s, idxs in by.items():
+            for i, win in zip(idxs, ray.get(futs[s])):
+                out[i] = win
+        return out
+
+    def drain_contested(self) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for d in ray.get([s.drain_contested.remote() for s in self.shards]):
+            out.update(d)
         return out
 
     def restore(self, keys: list[str]) -> None:

@@ -169,12 +169,12 @@ def test_failed_page_fetch_not_visited(ray_session, tmp_path_factory):
     assert cr.seen_urls() == ref.seen
 
 
-@pytest.mark.parametrize("threshold,pipelined",
-                         [(100000, False),  # driver-side vectorized path
-                          (0, False),       # distributed release+admission
-                          (0, True)])       # distributed + pipelined spill
+@pytest.mark.parametrize("threshold,strict",
+                         [(100000, True),  # driver-side vectorized path
+                          (0, True),       # distributed release+admission
+                          (0, False)])     # non-strict written gate
 def test_diamond_link_deterministic(ray_session, tmp_path_factory,
-                                    threshold, pipelined):
+                                    threshold, strict):
     """Two pages discovering the same URL (listing 2 re-links listing
     1's first album, plus both listings seeded in round 0): admission
     must be DFS-first deterministic, matching the oracle's first-visit
@@ -192,7 +192,7 @@ def test_diamond_link_deterministic(ray_session, tmp_path_factory,
             root=root, fetcher_factory=_partial(make_synth_fetcher, spec),
             site_cfg=site_config(spec),
             release_driver_threshold=threshold,
-            strict_name_dedup=not pipelined))
+            strict_name_dedup=strict))
         cr.seed(sd)
         cr.run()
         assert cr.visit_order() == ref.visit_order

@@ -164,9 +164,9 @@ def test_resume_after_midround_crash_debris(ray_session, tmp_path):
 
 
 def test_pipelined_path_parity(ray_session, tmp_path):
-    """The throughput configuration (single streaming execution per
-    round: strict_name_dedup=False + task stages + gate-side spill)
-    must produce oracle-identical results on the fixture."""
+    """The non-strict first-come written gate (throughput knob: no
+    claim bookkeeping) must still produce oracle-identical results on
+    the collision-free fixture."""
     spec = _small_spec()
     sd = [s for s in seeds(default_spec(scale=1))
           if any(h.name in s for h in spec.hosts)]
