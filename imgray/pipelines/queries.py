@@ -365,10 +365,27 @@ def _queries_for_ann(sf_dir: str) -> np.ndarray:
 
 
 def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 per fixed query vector, DuckDB-oracle
+    checkable (VERDICT r2 #5): integer-only output (query_id, rank,
+    vec_id, cos_u in micro-units), ranked by (cos DESC, vec_id) so the
+    order is deterministic across engines."""
     from ..ops.ann import cosine_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return cosine_topk(ds, _queries_for_ann(sf_dir), k=5)
+    t = cosine_topk(ds, _queries_for_ann(sf_dir), k=5)
+    rows = sorted(t.to_pylist(),
+                  key=lambda r: (r["query_id"], -r["cos"], r["vec_id"]))
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos_u": []}
+    rank, prev_q = 0, None
+    for r in rows:
+        rank = rank + 1 if r["query_id"] == prev_q else 0
+        prev_q = r["query_id"]
+        out["query_id"].append(r["query_id"])
+        out["rank"].append(rank)
+        out["vec_id"].append(r["vec_id"])
+        out["cos_u"].append(int(round(r["cos"] * 1e6)))
+    return pa.table({k: pa.array(v, type=pa.int64())
+                     for k, v in out.items()})
 
 
 def q_ann_ivf(sf_dir: str):
@@ -660,11 +677,11 @@ QUERIES = {
     "running_total": q_running_total,
     "asof_join": q_asof_join,
     "hash_sample": q_hash_sample,
+    "ann_topk": q_ann_topk,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
-    "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "langid": q_langid,
     "quality": q_quality,
@@ -854,3 +871,34 @@ ORACLE_SQL = {
                CAST(length(text) // 4 + 1 AS BIGINT) AS bpe_est
         FROM documents""",
 }
+
+
+def _ann_topk_sql() -> str:
+    """Brute-force cosine top-5 oracle with the fixed query vectors
+    inlined as DOUBLE[] literals (the vectors are a deterministic
+    function of seed 7 — see _queries_for_ann)."""
+    qs = _queries_for_ann("")
+    values = ",\n            ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            qi, ", ".join(repr(float(x)) for x in qs[qi]))
+        for qi in range(qs.shape[0]))
+    return f"""
+        WITH q(query_id, qv) AS (VALUES
+            {values}),
+        ranked AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(q.qv, e.embedding::DOUBLE[])
+                       AS cos,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY list_cosine_similarity(
+                                          q.qv, e.embedding::DOUBLE[]) DESC,
+                                      e.vec_id) - 1 AS rank
+            FROM q CROSS JOIN embeddings e)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS BIGINT) AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(round(cos * 1000000) AS BIGINT) AS cos_u
+        FROM ranked WHERE rank < 5"""
+
+
+ORACLE_SQL["ann_topk"] = _ann_topk_sql()
