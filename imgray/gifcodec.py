@@ -168,13 +168,22 @@ def gif_decode(data: bytes) -> np.ndarray:
         gct = np.frombuffer(data[pos:pos + 3 * n],
                             dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    transp = None  # GCE transparency index for the NEXT frame (89a)
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            label = data[pos + 1]
             pos += 2
+            first_sub = None
             while pos < len(data) and data[pos] != 0:
-                pos += 1 + data[pos]
+                ln = data[pos]
+                if first_sub is None:
+                    first_sub = data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
             pos += 1
+            if label == 0xF9 and first_sub and len(first_sub) >= 4 \
+                    and first_sub[0] & 0x01:
+                transp = first_sub[3]
         elif b == 0x2C:  # image descriptor
             x0, y0, iw, ih, iflags = struct.unpack("<HHHHB",
                                                    data[pos + 1:pos + 10])
@@ -204,6 +213,8 @@ def gif_decode(data: bytes) -> np.ndarray:
                 de[rows] = idx
                 idx = de
             frame = ct[idx]
+            if transp is not None:  # transparent pixels → opaque black
+                frame[idx == transp] = 0
             # first frame only; compose onto a full canvas if offset
             if (x0, y0, iw, ih) != (0, 0, w, h):
                 canvas = np.zeros((h, w, 3), dtype=np.uint8)

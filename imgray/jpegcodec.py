@@ -6,7 +6,7 @@ Scope (ITU-T T.81 baseline sequential DCT):
   * encode — 8-bit RGB (or grayscale), 4:4:4, quality-scaled Annex K
     quantization tables, standard Annex K Huffman tables, one
     interleaved scan.
-  * decode — baseline SOF0, 1–3 components, ARBITRARY sampling factors
+  * decode — baseline SOF0, 1 or 3 components, ARBITRARY sampling factors
     (4:4:4 / 4:2:2 / 4:2:0 … via MCU-interleaved decode + nearest
     upsampling), multiple DQT/DHT segments, DRI/RSTn restart markers,
     0xFF byte-stuffing.
@@ -550,6 +550,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise ValueError(
+            f"unsupported component count {len(planes)} (1 or 3)")
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

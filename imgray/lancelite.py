@@ -29,6 +29,7 @@ import os
 import uuid
 
 import pyarrow as pa
+import pyarrow.compute as _pc
 import pyarrow.parquet as pq
 
 
@@ -94,9 +95,16 @@ class LanceLite:
         re-execution overwrite its own fragment → idempotent."""
         rel = os.path.join("data", f"frag-{name_hint}.parquet")
         tmp = os.path.join(self.data_dir, f".tmp-{uuid.uuid4().hex}")
-        # binary payload columns hold already-compressed image bytes —
-        # recompressing them burns CPU for ~0 ratio; zstd the rest
-        comp = {f.name: ("NONE" if pa.types.is_binary(f.type)
+        # binary payload columns usually hold already-compressed image
+        # bytes — recompressing burns CPU for ~0 ratio — EXCEPT raw
+        # formats (bmp): if the fragment contains any, keep ZSTD on the
+        # binary columns so raw payloads don't inflate on disk (ADVICE
+        # r2); zstd the metadata columns always
+        raw_payload = ("fmt" in table.column_names and bool(
+            _pc.any(_pc.is_in(table.column("fmt"),
+                              value_set=pa.array(["bmp"]))).as_py()))
+        binary_codec = "ZSTD" if raw_payload else "NONE"
+        comp = {f.name: (binary_codec if pa.types.is_binary(f.type)
                          or pa.types.is_large_binary(f.type) else "ZSTD")
                 for f in table.schema}
         pq.write_table(table, tmp, compression=comp)

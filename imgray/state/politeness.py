@@ -105,7 +105,7 @@ class SchedulerShard:
         self.robots: dict[str, list[str]] = {}
         self.rejected: int = 0
         self._grant_memo: dict[tuple, list[str]] = {}
-        self._memo_order: list[tuple] = []
+        self._memo_round: int = -1
 
     def _rules(self, host: str) -> list[str]:
         if host not in self.robots:
@@ -136,7 +136,15 @@ class SchedulerShard:
         'release' | 'defer' | 'robots'.
 
         Idempotent per (host, round): a retried release task replays the
-        original verdicts instead of double-spending the token budget."""
+        original verdicts instead of double-spending the token budget.
+        The memo holds the CURRENT round's entries in full (rounds are
+        monotonic and barriered — a round's release tasks are drained
+        before the next begins, so only same-round retries exist) and
+        is purged when a new round starts: never evicts a replayable
+        entry, bounded by hosts-per-round (ADVICE r2)."""
+        if now_round != self._memo_round:
+            self._grant_memo = {}
+            self._memo_round = now_round
         memo_key = (host, now_round)
         if memo_key in self._grant_memo:
             return self._grant_memo[memo_key]
@@ -160,9 +168,6 @@ class SchedulerShard:
                 verdicts.append("defer")
         b.take(granted)
         self._grant_memo[memo_key] = verdicts
-        if len(self._memo_order) >= 256:
-            self._grant_memo.pop(self._memo_order.pop(0), None)
-        self._memo_order.append(memo_key)
         return verdicts
 
     def stats(self) -> dict:

@@ -104,3 +104,27 @@ def test_lzw_property(seed, alphabet, n):
     mcs = max(2, int(np.ceil(np.log2(alphabet))))
     assert np.array_equal(
         _lzw_decode(_lzw_encode(idx, mcs), mcs, n).astype(np.uint16), idx)
+
+
+def test_gif_gce_transparency_renders_black():
+    """GIF89a graphic-control transparency: a transparent palette index
+    renders as opaque black, not its palette color (ADVICE r2)."""
+    import numpy as np
+    from imgray.gifcodec import gif_decode, gif_encode
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[0, 0] = [7, 7, 7]
+    img[1, 1] = [200, 10, 10]
+    data = bytearray(gif_encode(img))
+    depth = (data[10] & 0x07) + 1
+    n = 1 << depth
+    pal = np.frombuffer(bytes(data[13:13 + 3 * n]),
+                        dtype=np.uint8).reshape(n, 3)
+    ti = int(np.where((pal == [7, 7, 7]).all(axis=1))[0][0])
+    gce = b"\x21\xf9\x04" + bytes([0x01, 0, 0, ti]) + b"\x00"
+    with_gce = bytes(data[:13 + 3 * n]) + gce + bytes(data[13 + 3 * n:])
+    out = gif_decode(with_gce)
+    assert (out[0, 0] == [0, 0, 0]).all()
+    assert (out[1, 1] == [200, 10, 10]).all()
+    # without a GCE the palette color renders unchanged
+    assert (gif_decode(bytes(data))[0, 0] == [7, 7, 7]).all()
