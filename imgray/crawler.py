@@ -423,6 +423,10 @@ def to_frontier(t: pa.Table, rnd: int, priority_by_depth: bool) -> pa.Table:
     }, schema=S.FRONTIER)
 
 
+FRONTIER_ROW_GROUP = 32768  # checkpoint row-group size: the unit a
+# salted release task can read independently (hot-bucket splitting)
+
+
 def write_frontier_buckets(tbl: pa.Table, fdir: str, tag: str,
                            nb: int = 16) -> int:
     """Write FRONTIER rows as per-host-bucket files
@@ -445,7 +449,7 @@ def write_frontier_buckets(tbl: pa.Table, fdir: str, tag: str,
         part = tbl.filter(pc.equal(buckets, b))
         dest = os.path.join(fdir, f"b{b:02d}-{tag}.parquet")
         tmp = os.path.join(fdir, f".tmp-{_uuid.uuid4().hex}")
-        pq.write_table(part, tmp)
+        pq.write_table(part, tmp, row_group_size=FRONTIER_ROW_GROUP)
         os.replace(tmp, dest)
     return tbl.num_rows
 
@@ -491,6 +495,100 @@ def release_bucket_batch(batch: pa.Table, scheds: list, now_round: int,
                 pa.nulls(deferred.num_rows, pa.int32()).fill_null(now_round))
             write_frontier_buckets(deferred, next_fdir, "defer", nb)
         out.append(tbl.filter(pc.equal(va, "release")))
+    return (pa.concat_tables(out) if out else S.FRONTIER.empty_table())
+
+
+def _plan_chunks(paths: list[str], target_rows: int) -> list[list]:
+    """Pack a bucket's frontier row groups into ~target_rows chunks —
+    each chunk is one presift task's independent read set (metadata
+    only, no row reads).  Returns [[(path, [rg, ...]), ...], ...]."""
+    chunks: list[list] = []
+    cur: dict[str, list[int]] = {}
+    cur_rows = 0
+    for p in paths:
+        md = pq.read_metadata(p)
+        for rg in range(md.num_row_groups):
+            cur.setdefault(p, []).append(rg)
+            cur_rows += md.row_group(rg).num_rows
+            if cur_rows >= target_rows:
+                chunks.append(sorted(cur.items()))
+                cur, cur_rows = {}, 0
+    if cur:
+        chunks.append(sorted(cur.items()))
+    return chunks
+
+
+def _url_path(u: str) -> str:
+    rest = u.split("://", 1)[1] if "://" in u else u
+    slash = rest.find("/")
+    return rest[slash:] if slash != -1 else "/"
+
+
+def presift_bucket_batch(batch: pa.Table, scheds: list, now_round: int,
+                         next_fdir: str, nb: int,
+                         cand_per_host: int) -> pa.Table:
+    """Hot-bucket salted release, phase A (north-rule skew mitigation,
+    VERDICT r2 #4): each task reads only its row-group chunk of an
+    oversized bucket, robots-filters locally (rules fetched once per
+    host from the owning SchedulerShard), defers everything beyond each
+    host's first ``cand_per_host`` rows worker-side, and returns only
+    those candidates.  Phase B (driver) merges candidates per host and
+    calls filter_and_grant ONCE per host — one token budget per host on
+    one shard, arbitrarily many parallel scan tasks.
+
+    Correctness: budget ≤ burst ≤ cand_per_host, and each chunk
+    contributes its locally-first allowed rows in (priority, seq)
+    order, so the globally-first ``budget`` rows are always inside the
+    returned union; every non-candidate ranks > cand_per_host locally,
+    hence > budget globally — 'defer' is its verdict under unsalted
+    semantics too.  Retry-safe: deferred-file names are deterministic
+    per chunk; the robots-reject counter may double-count on a retried
+    task (observability only)."""
+    from .state.politeness import robots_allowed
+
+    import json
+
+    out: list[pa.Table] = []
+    for row in batch.to_pylist():
+        chunk_id = row["chunk"]
+        tbls = [pq.ParquetFile(p).read_row_groups(rgs)
+                for p, rgs in json.loads(row["parts"])]
+        tbl = pa.concat_tables(tbls).sort_by(
+            [("host", "ascending"), ("priority", "ascending"),
+             ("seq", "ascending")])
+        hosts = tbl.column("host").to_pylist()
+        uniq = sorted(set(hosts))
+        rules_map = dict(zip(uniq, ray.get(
+            [scheds[host_shard(h, len(scheds))].get_rules.remote(h)
+             for h in uniq])))
+        cands: list[pa.Table] = []
+        defers: list[pa.Table] = []
+        i = 0
+        while i < len(hosts):
+            j = i
+            while j < len(hosts) and hosts[j] == hosts[i]:
+                j += 1
+            sub = tbl.slice(i, j - i)
+            rules = rules_map[hosts[i]]
+            if rules:
+                allowed = [robots_allowed(_url_path(u), rules)
+                           for u in sub.column("url").to_pylist()]
+                nrej = len(allowed) - sum(allowed)
+                if nrej:
+                    scheds[host_shard(hosts[i], len(scheds))] \
+                        .add_rejected.remote(nrej)
+                sub = sub.filter(pa.array(allowed))
+            cands.append(sub.slice(0, cand_per_host))
+            if sub.num_rows > cand_per_host:
+                defers.append(sub.slice(cand_per_host))
+            i = j
+        if defers:
+            d = pa.concat_tables(defers)
+            d = d.set_column(
+                d.schema.get_field_index("round"), "round",
+                pa.nulls(d.num_rows, pa.int32()).fill_null(now_round))
+            write_frontier_buckets(d, next_fdir, f"ps-{chunk_id}", nb)
+        out.extend(t for t in cands if t.num_rows)
     return (pa.concat_tables(out) if out else S.FRONTIER.empty_table())
 
 
@@ -637,6 +735,12 @@ class CrawlerConfig:
     # bucket files per round (worker-written at scale; release reads
     # per-bucket files, so a bucket IS a release task's partition)
     frontier_buckets: int = 16
+    # hot-bucket salting (north-rule skew mitigation): a bucket whose
+    # frontier exceeds this row count is released via parallel presift
+    # chunk tasks (row-group granularity reads, worker-side deferral,
+    # ≤ burst candidates/host returned) + ONE driver-side grant per
+    # host — the host's token budget stays on its single SchedulerShard
+    release_salt_threshold: int = 200000
     # frontier priority: released per host in (priority, seq) order —
     # smaller = sooner.  Default ranks by depth so listing discovery is
     # not starved by deep album chains under tight politeness budgets.
@@ -879,23 +983,65 @@ class Crawler:
             # reads its own bucket files, grants per host, and writes
             # deferred rows directly to the next round's bucket file;
             # only the released rows (bounded by politeness budget ×
-            # hosts) are materialized on the driver
+            # hosts) are materialized on the driver.  Buckets whose
+            # frontier exceeds release_salt_threshold rows are instead
+            # SALTED: parallel presift chunk tasks (row-group reads,
+            # worker-side deferral, ≤ burst candidates per host) feed
+            # one driver-side grant per host — skew in the host→bucket
+            # hash never serializes a round on one release task
             import json
 
             by_bucket: dict[int, list[str]] = {}
             for p in fpaths:
                 by_bucket.setdefault(int(os.path.basename(p)[1:3]),
                                      []).append(p)
-            items = [{"bucket": b, "paths": json.dumps(ps)}
-                     for b, ps in sorted(by_bucket.items())]
-            rel_out = ray.data.from_items(items).map_batches(
-                partial(release_bucket_batch, scheds=self.scheds,
-                        now_round=rnd + 1, next_fdir=next_fdir, nb=nb),
-                batch_format="pyarrow", batch_size=1)
-            tbls = [t for t in (ray.get(r) for r in rel_out.to_arrow_refs())
-                    if t.num_rows]
-            released = (pa.concat_tables(tbls, promote_options="default")
-                        if tbls else S.FRONTIER.empty_table())
+            cold_items, hot_items = [], []
+            for b, ps in sorted(by_bucket.items()):
+                if per_in.get(b, 0) > cfg.release_salt_threshold:
+                    for ci, parts in enumerate(
+                            _plan_chunks(ps, cfg.release_salt_threshold)):
+                        hot_items.append(
+                            {"chunk": f"b{b:02d}c{ci:04d}-r{rnd}",
+                             "parts": json.dumps(parts)})
+                else:
+                    cold_items.append({"bucket": b, "paths": json.dumps(ps)})
+            rel_parts: list[pa.Table] = []
+            if cold_items:
+                rel_out = ray.data.from_items(cold_items).map_batches(
+                    partial(release_bucket_batch, scheds=self.scheds,
+                            now_round=rnd + 1, next_fdir=next_fdir, nb=nb),
+                    batch_format="pyarrow", batch_size=1)
+                rel_parts += [t for t in (ray.get(r)
+                                          for r in rel_out.to_arrow_refs())
+                              if t.num_rows]
+            if hot_items:
+                pres = ray.data.from_items(hot_items).map_batches(
+                    partial(presift_bucket_batch, scheds=self.scheds,
+                            now_round=rnd + 1, next_fdir=next_fdir, nb=nb,
+                            cand_per_host=int(np.ceil(cfg.burst))),
+                    batch_format="pyarrow", batch_size=1)
+                cand_tbls = [t for t in (ray.get(r)
+                                         for r in pres.to_arrow_refs())
+                             if t.num_rows]
+                self._save_stats(rnd + 1, pres, "presift release")
+                if cand_tbls:
+                    cand = pa.concat_tables(cand_tbls,
+                                            promote_options="default")
+                    hot_rel = self._release_driver_side(cand, rnd)
+                    v = hot_rel.column(VERDICT)
+                    write_frontier_buckets(
+                        to_frontier(
+                            hot_rel.filter(pc.equal(v, "defer"))
+                            .drop_columns([VERDICT]),
+                            rnd + 1, cfg.priority_by_depth),
+                        next_fdir, "defer-hot", nb)
+                    rel_hot = hot_rel.filter(pc.equal(v, "release")) \
+                        .drop_columns([VERDICT])
+                    if rel_hot.num_rows:
+                        rel_parts.append(rel_hot)
+            released = (pa.concat_tables(rel_parts,
+                                         promote_options="default")
+                        if rel_parts else S.FRONTIER.empty_table())
         _mark("release")
 
         # fetch + extract + gate (HTML never leaves the PageParser actors).

@@ -2,17 +2,20 @@
 (VERDICT r1 missing #2: the dominant real-world crawled format had no
 decoder here — no Pillow in this sandbox).
 
-Scope (ITU-T T.81 baseline sequential DCT):
-  * encode — 8-bit RGB (or grayscale), 4:4:4, quality-scaled Annex K
-    quantization tables, standard Annex K Huffman tables, one
-    interleaved scan.
-  * decode — baseline SOF0, 1 or 3 components, ARBITRARY sampling factors
-    (4:4:4 / 4:2:2 / 4:2:0 … via MCU-interleaved decode + nearest
-    upsampling), multiple DQT/DHT segments, DRI/RSTn restart markers,
-    0xFF byte-stuffing.
-  * progressive (SOF2), arithmetic coding, 12-bit precision: out of
-    scope → ValueError (honest failure, the caller's strict/fake split
-    handles it).
+Scope (ITU-T T.81 sequential baseline + progressive annex G):
+  * encode — 8-bit RGB (or grayscale), 4:4:4 or 4:2:0, quality-scaled
+    Annex K quantization tables, standard Annex K Huffman tables, one
+    interleaved scan; plus ``jpeg_encode_progressive`` (SOF2, DC/AC
+    first + successive-approximation refinement scans) for first-party
+    progressive vectors.
+  * decode — baseline SOF0/1 AND progressive SOF2 (spectral selection,
+    successive approximation, EOBn runs), 1 or 3 components, ARBITRARY
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0 … via MCU-interleaved
+    decode + nearest upsampling), multi-scan streams, multiple DQT/DHT
+    segments, DRI/RSTn restart markers, 0xFF byte-stuffing.
+  * arithmetic coding, hierarchical, 12-bit precision: out of scope →
+    ValueError (honest failure, the caller's strict/fake split handles
+    it).
 
 The tables in Annex K of the public JPEG specification (ITU-T T.81 /
 ISO 10918-1) are example tables reproduced here verbatim from the spec.
@@ -330,6 +333,282 @@ def jpeg_encode(img: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
+# ------------------------------------------------- progressive encoder
+
+# uniform 9-bit AC table for progressive scans: every (run, size) plus
+# EOBn/ZRL symbol, one code length — valid canonical Huffman (176 ≤ 512
+# slots), chosen for simplicity over compression (first-party vectors)
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _sos_header(comp_specs: list[tuple], Ss: int, Se: int, Ah: int,
+                Al: int) -> bytes:
+    sos = bytes([len(comp_specs)])
+    for cid, td, ta in comp_specs:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([Ss, Se, (Ah << 4) | Al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def _enc_dc_scan(grids: list[np.ndarray], samp: list[tuple], mcux: int,
+                 mcuy: int, dc_tabs: list[dict], Ah: int, Al: int,
+                 restart_interval: int) -> bytes:
+    """DC scan: first pass (Ah=0) codes (dc >> Al) diffs; refinement
+    (Ah>0) one raw bit per block (T.81 G.1.2.1).  Interleaved MCU
+    order over the padded grids."""
+    w = _BitWriter()
+    preds = [0] * len(grids)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            w.marker(bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]))
+            preds = [0] * len(grids)
+        my, mx = divmod(m, mcux)
+        for ci, g in enumerate(grids):
+            hs, vs = samp[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    dc = int(g[my * vs + by, mx * hs + bx, 0])
+                    if Ah == 0:
+                        v = dc >> Al
+                        size, bits = _magnitude(v - preds[ci])
+                        code, ln = dc_tabs[ci][size]
+                        w.write(code, ln)
+                        if size:
+                            w.write(bits, size)
+                        preds[ci] = v
+                    else:
+                        w.write((dc >> Al) & 1, 1)
+    return w.flush()
+
+
+def _enc_ac_first(grid: np.ndarray, nbh: int, nbw: int, ac_codes: dict,
+                  Ss: int, Se: int, Al: int,
+                  restart_interval: int) -> bytes:
+    """AC first scan (Ah=0): band coefficients at point transform Al
+    (signed divide toward zero), zero runs + EOBn end-of-band runs
+    (T.81 G.1.2.2).  Non-interleaved raster over the TRUE block grid."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            w.write(code, ln)
+            if nbits:
+                w.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for m in range(nbh * nbw):
+        if restart_interval and m and m % restart_interval == 0:
+            flush_eob()
+            w.marker(bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]))
+        by, bx = divmod(m, nbw)
+        z = grid[by, bx]
+        r = 0
+        for k in range(Ss, Se + 1):
+            t = int(z[k])
+            t = t >> Al if t >= 0 else -((-t) >> Al)
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                w.write(code, ln)
+                r -= 16
+            size, bits = _magnitude(t)
+            code, ln = ac_codes[(r << 4) | size]
+            w.write(code, ln)
+            w.write(bits, size)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return w.flush()
+
+
+def _enc_ac_refine(grid: np.ndarray, nbh: int, nbw: int, ac_codes: dict,
+                   Ss: int, Se: int, Al: int,
+                   restart_interval: int) -> bytes:
+    """AC refinement scan (Ah=Al+1): newly-nonzero coefficients (|c| >>
+    Al == 1) as run/±1 symbols over zero-history positions; correction
+    bits for every already-nonzero coefficient interleave exactly where
+    the decoder's advance loop reads them (T.81 G.1.2.3) — this encoder
+    mirrors the decode loop step for step, including the EOB-run
+    buffered-bit ordering."""
+    w = _BitWriter()
+    eobrun = 0
+    bitbuf: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun, bitbuf
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            w.write(code, ln)
+            if nbits:
+                w.write(eobrun - (1 << nbits), nbits)
+            for b in bitbuf:
+                w.write(b, 1)
+            eobrun = 0
+            bitbuf = []
+
+    for m in range(nbh * nbw):
+        if restart_interval and m and m % restart_interval == 0:
+            flush_eob()
+            w.marker(bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]))
+        by, bx = divmod(m, nbw)
+        z = grid[by, bx]
+
+        def mag(k: int) -> int:
+            return abs(int(z[k])) >> Al
+
+        newpos = [k for k in range(Ss, Se + 1) if mag(k) == 1]
+        k = Ss
+        for p in newpos:
+            flush_eob()
+            r = sum(1 for q in range(k, p) if mag(q) == 0)
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                w.write(code, ln)
+                # the decoder's ZRL advance skips 16 zero-history
+                # positions, reading one correction bit per nonzero
+                # passed — emit exactly those bits, in position order
+                zz = 0
+                while True:
+                    a = mag(k)
+                    if a == 0:
+                        zz += 1
+                        if zz == 16:
+                            k += 1
+                            break
+                    elif a > 1:
+                        w.write(mag(k) & 1, 1)
+                    k += 1
+                r -= 16
+            code, ln = ac_codes[(r << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if int(z[p]) > 0 else 0, 1)
+            for q in range(k, p):
+                if mag(q) > 1:
+                    w.write(mag(q) & 1, 1)
+            k = p + 1
+        if k <= Se:
+            eobrun += 1
+            bitbuf.extend(mag(q) & 1 for q in range(k, Se + 1)
+                          if mag(q) > 1)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return w.flush()
+
+
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 → progressive (SOF2)
+    JFIF bytes with successive approximation: DC first (Al=1) → per-
+    component AC first (band 1..63, Al=1) → per-component AC refine →
+    DC refine.  Transmits the same quantized coefficients as
+    jpeg_encode at equal quality/subsampling, so decodes bit-identical
+    to the baseline stream."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qt0 = _scale_qt(QT_LUMA, quality)
+    qt1 = _scale_qt(QT_CHROMA, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+
+            def down(p):
+                pad = np.empty((ph, pw))
+                pad[:h, :w] = p
+                pad[h:, :w] = p[h - 1:h, :]
+                pad[:, w:] = pad[:, w - 1:w]
+                return pad.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, qt in ((0, qt0),) + (() if gray else ((1, qt1),)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
+            + bytes(int(x) for x in qt.reshape(64)[ZIGZAG])
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+                      0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+              (0x10, PROG_AC_BITS, PROG_AC_VALS)]
+    if not gray:
+        tables += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    for tc, bits, vals in tables:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + \
+        [_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * (ncomp - 1)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    grids = [
+        _component_blocks(p, qt0 if i == 0 else qt1,
+                          bh=mcuy * samp[i][1], bw=mcux * samp[i][0])
+        for i, p in enumerate(planes)
+    ]
+    # true (non-interleaved) block dims per component, T.81 A.2.2
+    nb = []
+    for i in range(ncomp):
+        ch = -(-h * samp[i][1] // vmax)
+        cw = -(-w * samp[i][0] // hmax)
+        nb.append((-(-ch // 8), -(-cw // 8)))
+
+    comp_specs = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    # scan 1: DC first, Al=1, interleaved
+    out += _sos_header(comp_specs, 0, 0, 0, 1)
+    out += _enc_dc_scan(grids, samp, mcux, mcuy, dc_tabs, 0, 1,
+                        restart_interval)
+    # scans 2..: AC first per component (band 1..63, Al=1)
+    for ci in range(ncomp):
+        out += _sos_header([comp_specs[ci]], 1, 63, 0, 1)
+        out += _enc_ac_first(grids[ci], nb[ci][0], nb[ci][1], ac_codes,
+                             1, 63, 1, restart_interval)
+    # AC refinement per component (Ah=1 → Al=0)
+    for ci in range(ncomp):
+        out += _sos_header([comp_specs[ci]], 1, 63, 1, 0)
+        out += _enc_ac_refine(grids[ci], nb[ci][0], nb[ci][1], ac_codes,
+                              1, 63, 0, restart_interval)
+    # DC refinement (Ah=1 → Al=0), interleaved raw bits
+    out += _sos_header(comp_specs, 0, 0, 1, 0)
+    out += _enc_dc_scan(grids, samp, mcux, mcuy, dc_tabs, 1, 0,
+                        restart_interval)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------- decoder
 
 class _BitReader:
@@ -420,11 +699,184 @@ def _read_symbol(reader: _BitReader, table: dict[tuple, int]) -> int:
     raise ValueError("bad Huffman code")
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+def _decode_dc_scan(reader: _BitReader, scan_comps: list[dict],
+                    dcs: dict, Ah: int, Al: int, restart_interval: int,
+                    mcux: int, mcuy: int) -> None:
+    """DC scan (Ss=Se=0): first pass (Ah=0) decodes diffs at point
+    transform Al; refinement (Ah>0) reads one bit per block (T.81
+    G.1.2.1).  Interleaved in MCU order when the scan has several
+    components, block-raster over the component's true grid when one."""
+    interleaved = len(scan_comps) > 1
+    for c in scan_comps:
+        c["pred"] = 0
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        c = scan_comps[0]
+        units = c["nbw"] * c["nbh"]
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.next_segment()
+            for c in scan_comps:
+                c["pred"] = 0
+        if interleaved:
+            my, mx = divmod(m, mcux)
+            blocks = [(c, my * c["v"] + by, mx * c["h"] + bx)
+                      for c in scan_comps
+                      for by in range(c["v"]) for bx in range(c["h"])]
+        else:
+            c = scan_comps[0]
+            by, bx = divmod(m, c["nbw"])
+            blocks = [(c, by, bx)]
+        for c, by, bx in blocks:
+            z = c["qz"][by, bx]
+            if Ah == 0:
+                size = _read_symbol(reader, dcs[c["td"]])
+                c["pred"] += _extend(reader.read_bits(size), size)
+                z[0] = c["pred"] << Al
+            elif reader.read_bit():
+                z[0] = int(z[0]) | (1 << Al)
 
-    Supports SOF0 with arbitrary sampling factors, DRI restarts and
-    multi-table DQT/DHT; raises ValueError on progressive/arithmetic."""
+
+def _decode_ac_first(reader: _BitReader, c: dict, act: dict, Ss: int,
+                     Se: int, Al: int, restart_interval: int) -> None:
+    """AC first scan (Ah=0): band Ss..Se at point transform Al with
+    EOBn end-of-band runs (T.81 G.1.2.2).  Always non-interleaved."""
+    eobrun = 0
+    for m in range(c["nbw"] * c["nbh"]):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.next_segment()
+            eobrun = 0
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        by, bx = divmod(m, c["nbw"])
+        z = c["qz"][by, bx]
+        k = Ss
+        while k <= Se:
+            rs = _read_symbol(reader, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += r
+            if k > Se:
+                raise ValueError("AC run overflow")
+            z[k] = _extend(reader.read_bits(s), s) << Al
+            k += 1
+
+
+def _decode_ac_refine(reader: _BitReader, c: dict, act: dict, Ss: int,
+                      Se: int, Al: int, restart_interval: int) -> None:
+    """AC refinement scan (Ah=Al+1): newly-nonzero coefficients arrive
+    as ±1<<Al run-length coded over ZERO-HISTORY positions; every
+    already-nonzero coefficient passed on the way contributes one
+    correction bit (T.81 G.1.2.3)."""
+    p1, m1 = 1 << Al, -1 << Al
+    eobrun = 0
+    for m in range(c["nbw"] * c["nbh"]):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.next_segment()
+            eobrun = 0
+        by, bx = divmod(m, c["nbw"])
+        z = c["qz"][by, bx]
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                rs = _read_symbol(reader, act)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # r == 15: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement symbol")
+                    val = p1 if reader.read_bit() else m1
+                while k <= Se:
+                    if z[k] != 0:
+                        if reader.read_bit() and not (int(z[k]) & p1):
+                            z[k] = int(z[k]) + (p1 if z[k] > 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= Se:
+                    z[k] = val
+                k += 1
+        if eobrun > 0:
+            # the EOB symbol's correction bits cover the block's tail
+            while k <= Se:
+                if z[k] != 0 and reader.read_bit() and not (int(z[k]) & p1):
+                    z[k] = int(z[k]) + (p1 if z[k] > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+
+def _decode_baseline_scan(reader: _BitReader, scan_comps: list[dict],
+                          dcs: dict, acs: dict, restart_interval: int,
+                          mcux: int, mcuy: int) -> None:
+    """Sequential scan (Ss=0, Se=63): DC diff + AC runs per block."""
+    for c in scan_comps:
+        c["pred"] = 0
+    interleaved = len(scan_comps) > 1
+    units = (mcux * mcuy if interleaved
+             else scan_comps[0]["nbw"] * scan_comps[0]["nbh"])
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.next_segment()
+            for c in scan_comps:
+                c["pred"] = 0
+        if interleaved:
+            my, mx = divmod(m, mcux)
+            blocks = [(c, my * c["v"] + by, mx * c["h"] + bx)
+                      for c in scan_comps
+                      for by in range(c["v"]) for bx in range(c["h"])]
+        else:
+            c = scan_comps[0]
+            by, bx = divmod(m, c["nbw"])
+            blocks = [(c, by, bx)]
+        for c, by, bx in blocks:
+            dct, act = dcs[c["td"]], acs[c["ta"]]
+            z = c["qz"][by, bx]
+            size = _read_symbol(reader, dct)
+            c["pred"] += _extend(reader.read_bits(size), size)
+            z[0] = c["pred"]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(reader, act)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run overflow")
+                z[k] = _extend(reader.read_bits(s), s)
+                k += 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+
+    Supports baseline SOF0/1 AND progressive SOF2 (spectral selection +
+    successive approximation, T.81 annex G) with arbitrary sampling
+    factors, DRI restarts, multi-scan streams and multi-table DQT/DHT;
+    raises ValueError on arithmetic/hierarchical/12-bit codings.  All
+    scans accumulate quantized coefficients; dequantize + IDCT run once
+    at the end, batched over every block."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     qts: dict[int, np.ndarray] = {}
@@ -432,9 +884,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     acs: dict[int, dict] = {}
     comps: list[dict] = []
     h = w = 0
+    hmax = vmax = mcux = mcuy = 0
     restart_interval = 0
     i = 2
-    scan_start = None
+    nscans = 0
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             i += 1
@@ -467,7 +920,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(body[p + 17:p + 17 + n])
                 (dcs if tc == 0 else acs)[th] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision")
@@ -475,75 +928,67 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]  # MCU-padded block grid
+                c["bh"] = mcuy * c["v"]
+                # true (non-interleaved scan) block dims, T.81 A.2.2:
+                # ceil(ceil(dim * sampling / max_sampling) / 8)
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                c["nbw"] = -(-cw // 8)
+                c["nbh"] = -(-ch // 8)
+                c["qz"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG unsupported")
+            raise ValueError("unsupported JPEG coding (arithmetic/"
+                             "hierarchical/lossless)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan, then keep parsing
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            scan_comps = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
                 for c in comps:
                     if c["id"] == cs:
                         c["td"], c["ta"] = tdta >> 4, tdta & 0xF
-            scan_start = i + 2 + seglen
-            break
+                        scan_comps.append(c)
+            Ss, Se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 0xF
+            reader = _BitReader(data, i + 2 + seglen)
+            if Ss == 0 and Se == 63 and Ah == 0 and Al == 0:
+                _decode_baseline_scan(reader, scan_comps, dcs, acs,
+                                      restart_interval, mcux, mcuy)
+            elif Ss == 0 and Se == 0:
+                _decode_dc_scan(reader, scan_comps, dcs, Ah, Al,
+                                restart_interval, mcux, mcuy)
+            elif Ss > 0 and len(scan_comps) == 1:
+                fn = _decode_ac_first if Ah == 0 else _decode_ac_refine
+                fn(reader, scan_comps[0], acs[scan_comps[0]["ta"]],
+                   Ss, Se, Al, restart_interval)
+            else:
+                raise ValueError("bad scan parameters")
+            nscans += 1
+            i = reader.end
+            continue
         i += 2 + seglen
-    if scan_start is None or not comps:
+    if nscans == 0 or not comps:
         raise ValueError("no scan found")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]  # blocks per row
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
-        c["pred"] = 0
-
-    reader = _BitReader(data, scan_start)
-    nmcu = mcux * mcuy
-    for m in range(nmcu):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.next_segment()
-            for c in comps:
-                c["pred"] = 0
-        my, mx = divmod(m, mcux)
-        for c in comps:
-            dct, act = dcs[c["td"]], acs[c["ta"]]
-            qt = qts[c["tq"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    z = np.zeros(64, dtype=np.int64)
-                    size = _read_symbol(reader, dct)
-                    diff = _extend(reader.read_bits(size), size)
-                    c["pred"] += diff
-                    z[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = _read_symbol(reader, act)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run overflow")
-                        z[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-                    blk = (z[UNZIGZAG].reshape(8, 8) * qt).astype(np.float64)
-                    pix = _D8.T @ blk @ _D8 + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    c["coef"][y0:y0 + 8, x0:x0 + 8] = pix
 
     planes = []
     for c in comps:
-        p = c["coef"]
+        qt = qts[c["tq"]]
+        deq = (c["qz"].reshape(-1, 64)[:, UNZIGZAG]
+               .reshape(-1, 8, 8).astype(np.float64) * qt[None])
+        pix = _D8.T[None] @ deq @ _D8[None] + 128.0
+        p = (pix.reshape(c["bh"], c["bw"], 8, 8)
+             .transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8))
         p = _upsample_axis(p, vmax // c["v"], axis=0)
         p = _upsample_axis(p, hmax // c["h"], axis=1)
         planes.append(p[:h, :w])

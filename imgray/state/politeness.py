@@ -170,6 +170,19 @@ class SchedulerShard:
         self._grant_memo[memo_key] = verdicts
         return verdicts
 
+    def get_rules(self, host: str) -> list[str]:
+        """Robots rules for salted (hot-bucket) release tasks: rules are
+        fetched/cached once per host here, and the presift tasks apply
+        them locally so only top-of-queue candidates ever reach
+        filter_and_grant (the Crawl-delay bucket adjustment in _rules
+        still runs on this owning shard)."""
+        return self._rules(host)
+
+    def add_rejected(self, n: int) -> None:
+        """Robots rejections counted by a presift task (observability;
+        may double-count if the task is retried)."""
+        self.rejected += n
+
     def stats(self) -> dict:
         return {"hosts": len(self.buckets), "robots_cached": len(self.robots),
                 "rejected": self.rejected}

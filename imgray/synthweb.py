@@ -202,6 +202,14 @@ class SynthWeb:
         ctype = {"png": "image/png", "bmp": "image/bmp",
                  "lsy": "image/lsy", "jpg": "image/jpeg",
                  "gif": "image/gif"}[fmt]
+        if fmt == "jpg" and seed % 2:
+            # half the synthetic JPEGs are progressive (SOF2, successive
+            # approximation) — like the real web — exercising the
+            # multi-scan decode path end to end
+            from .jpegcodec import jpeg_encode_progressive
+
+            return Response(200, jpeg_encode_progressive(
+                img, subsample=seed % 4 == 1), ctype)
         return Response(200, C.encode_image(img, fmt), ctype)
 
     # ------------------------------------------------------------ pages

@@ -77,12 +77,56 @@ def test_flat_color_lossless():
     assert np.array_equal(jpeg_decode(jpeg_encode(img, 90)), img)
 
 
-def test_progressive_rejected():
+def test_arithmetic_coding_rejected():
     data = bytearray(jpeg_encode(_gradient(16, 16), 90))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # pretend SOF2 progressive
+    data[i + 1] = 0xC9  # pretend SOF9 (arithmetic sequential)
     with pytest.raises(ValueError):
         jpeg_decode(bytes(data))
+
+
+@pytest.mark.parametrize("shape,subsample,ri",
+                         [((16, 16, 3), False, 0),
+                          ((23, 17, 3), False, 0),   # odd dims
+                          ((32, 24, 3), True, 0),    # 4:2:0
+                          ((40, 40, 3), True, 3),    # restarts in scans
+                          ((16, 16), False, 0)])     # grayscale
+def test_progressive_decodes_identical_to_baseline(shape, subsample, ri):
+    """jpeg_encode_progressive transmits the SAME quantized
+    coefficients across its DC/AC first + refinement scans, so the
+    progressive stream must decode bit-identical to the baseline one
+    (VERDICT r2 #6)."""
+    from imgray.jpegcodec import jpeg_encode_progressive
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    prog = jpeg_encode_progressive(img, 85, subsample=subsample,
+                                   restart_interval=ri)
+    assert b"\xff\xc2" in prog  # really SOF2
+    base = jpeg_encode(img, 85, subsample=subsample, restart_interval=ri)
+    assert np.array_equal(jpeg_decode(prog), jpeg_decode(base))
+
+
+def test_progressive_smooth_eob_runs_psnr():
+    """Smooth images produce sparse AC bands → multi-block EOBn runs in
+    both first and refinement scans; decode must stay ≥40 dB vs the
+    source (the BASELINE.json lossy invariant)."""
+    from imgray.jpegcodec import jpeg_encode_progressive
+
+    img = _gradient(48, 40)
+    out = jpeg_decode(jpeg_encode_progressive(img, 90))
+    assert psnr(out.astype(np.float64), img.astype(np.float64)) >= 40.0
+    out2 = jpeg_decode(jpeg_encode_progressive(img, 90, subsample=True))
+    assert psnr(out2.astype(np.float64), img.astype(np.float64)) >= 40.0
+
+
+def test_progressive_sniffs_and_dispatches():
+    from imgray.jpegcodec import jpeg_encode_progressive
+
+    data = jpeg_encode_progressive(_blocky(24, 24, 5), 90)
+    assert sniff_format(data) == "jpg"
+    arr = decode_image(data)
+    assert arr.shape == (24, 24, 3)
 
 
 def test_truncated_header_rejected():
