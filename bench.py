@@ -88,7 +88,9 @@ def run_crawl(num_cpus: int) -> dict:
         fetch_batch=8,
         img_batch=32,
         # default config IS the streaming scale path now (strict name
-        # dedup runs in-pipeline via the claim gate — VERDICT r2 #1)
+        # dedup runs in-pipeline via the claim gate — VERDICT r2 #1);
+        # IMGRAY_BENCH_STRICT=0 toggles the first-come gate for A/B
+        strict_name_dedup=os.environ.get("IMGRAY_BENCH_STRICT", "1") != "0",
     )
     cr = Crawler(cfg)
     cr.seed(seeds(spec))

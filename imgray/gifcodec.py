@@ -5,8 +5,10 @@ GIF, so crawled GIFs must decode for pHash/features).
 
   * decode — global/local color tables, interlaced and plain frames,
     LZW with dynamic code width + clear/EOI codes, GIF89a graphic
-    control (transparency index honored as opaque-black), FIRST frame
-    of animations; returns (h, w, 3) uint8 RGB.
+    control (transparency renders the canvas underneath; background is
+    opaque black), and FULL animation composition (per-frame offsets,
+    disposal methods 0-3) via ``gif_decode_frames``; ``gif_decode``
+    returns the first composed (h, w, 3) uint8 RGB frame.
   * encode — GIF89a, single frame, global palette.  Images with ≤256
     distinct colors are encoded LOSSLESSLY (exact palette); otherwise
     colors quantize to an adaptive 6-7-6 grid (documented lossy path).
@@ -157,7 +159,14 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
 
 # --------------------------------------------------------------- decode
 
-def gif_decode(data: bytes) -> np.ndarray:
+def gif_decode_frames(data: bytes,
+                      max_frames: int | None = None) -> list[np.ndarray]:
+    """All (or the first ``max_frames``) composed animation frames as
+    (h, w, 3) uint8 RGB.  Composition per GIF89a: frames draw onto the
+    logical-screen canvas at their (x, y) offset; GCE transparency
+    leaves the underlying canvas pixel; disposal 2 restores the
+    background (rendered opaque black, same policy as static
+    transparency) and disposal 3 restores the pre-frame canvas."""
     if not data.startswith((b"GIF87a", b"GIF89a")):
         raise ValueError("not a GIF")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -168,7 +177,10 @@ def gif_decode(data: bytes) -> np.ndarray:
         gct = np.frombuffer(data[pos:pos + 3 * n],
                             dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    frames: list[np.ndarray] = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
     transp = None  # GCE transparency index for the NEXT frame (89a)
+    disposal = 0
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: label + sub-blocks
@@ -181,9 +193,9 @@ def gif_decode(data: bytes) -> np.ndarray:
                     first_sub = data[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            if label == 0xF9 and first_sub and len(first_sub) >= 4 \
-                    and first_sub[0] & 0x01:
-                transp = first_sub[3]
+            if label == 0xF9 and first_sub and len(first_sub) >= 4:
+                disposal = (first_sub[0] >> 2) & 0x07
+                transp = first_sub[3] if first_sub[0] & 0x01 else None
         elif b == 0x2C:  # image descriptor
             x0, y0, iw, ih, iflags = struct.unpack("<HHHHB",
                                                    data[pos + 1:pos + 10])
@@ -212,20 +224,38 @@ def gif_decode(data: bytes) -> np.ndarray:
                              np.arange(2, ih, 4), np.arange(1, ih, 2)]
                 de[rows] = idx
                 idx = de
-            frame = ct[idx]
-            if transp is not None:  # transparent pixels → opaque black
-                frame[idx == transp] = 0
-            # first frame only; compose onto a full canvas if offset
-            if (x0, y0, iw, ih) != (0, 0, w, h):
-                canvas = np.zeros((h, w, 3), dtype=np.uint8)
-                canvas[y0:y0 + ih, x0:x0 + iw] = frame[:h - y0, :w - x0]
-                return canvas
-            return frame.astype(np.uint8)
+            rect = ct[idx]
+            ch, cw = min(ih, h - y0), min(iw, w - x0)
+            before = canvas.copy() if disposal == 3 else None
+            target = canvas[y0:y0 + ch, x0:x0 + cw]
+            patch = rect[:ch, :cw]
+            if transp is not None:
+                mask = (idx[:ch, :cw] != transp)[:, :, None]
+                np.copyto(target, patch, where=mask)
+            else:
+                target[:] = patch
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:  # restore background (opaque black)
+                canvas[y0:y0 + ch, x0:x0 + cw] = 0
+            elif disposal == 3 and before is not None:
+                canvas = before
+            transp = None
+            disposal = 0
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"bad GIF block 0x{b:02x}")
-    raise ValueError("GIF contains no image frame")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """First composed frame (static decode; transparency → opaque
+    black, matching the canvas background)."""
+    return gif_decode_frames(data, max_frames=1)[0]
 
 
 # --------------------------------------------------------------- encode

@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from .. import codecs as C
 
-DECODABLE = ("png", "bmp", "lsy")
+DECODABLE = ("png", "bmp", "lsy", "jpg", "gif")
 
 
 def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -157,8 +157,12 @@ class AudioFrameStage:
 
 
 class VideoFrameSampleStage:
-    """STUB: video frame sampling (same container limitation); with
-    ``fake=True`` emits N deterministic thumbnail-sized frames."""
+    """Frame sampling over animated media.  REAL for animated GIF
+    (from-scratch decoder: composition, disposal, transparency) —
+    emits up to ``n_frames`` evenly-spaced composed frames.  Other
+    video containers are env-blocked stubs (no codec libraries in this
+    container); ``fake=True`` emits deterministic frames so the
+    pipeline plumbing is exercised."""
 
     def __init__(self, n_frames: int = 4, size: int = 8, fake: bool = True):
         self.n = n_frames
@@ -166,12 +170,26 @@ class VideoFrameSampleStage:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video decode requires codec libraries not in this container")
         out = {"media_id": [], "frame_no": [], "frame_png": []}
         for mid, data in zip(batch.column("media_id").to_pylist(),
                              batch.column("bytes").to_pylist()):
+            if data and data[:3] == b"GIF":
+                from ..gifcodec import gif_decode_frames
+
+                frames = gif_decode_frames(data)
+                if len(frames) > self.n:  # evenly-spaced sample
+                    pick = np.linspace(0, len(frames) - 1,
+                                       self.n).round().astype(int)
+                    frames = [frames[i] for i in pick]
+                for f, img in enumerate(frames):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(f)
+                    out["frame_png"].append(C.png_encode(img))
+                continue
+            if not self.fake:
+                raise NotImplementedError(
+                    "video decode requires codec libraries not in this "
+                    "container")
             seed = int.from_bytes(
                 hashlib.blake2b(data or b"", digest_size=8).digest(), "big")
             rng = np.random.default_rng(seed)

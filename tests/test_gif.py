@@ -128,3 +128,71 @@ def test_gif_gce_transparency_renders_black():
     assert (out[1, 1] == [200, 10, 10]).all()
     # without a GCE the palette color renders unchanged
     assert (gif_decode(bytes(data))[0, 0] == [7, 7, 7]).all()
+
+
+def _anim_gif():
+    """Hand-built 3-frame 4x4 animation: full first frame; offset 2x2
+    patch with a transparent pixel (disposal 1 = leave); then a frame
+    after a disposal-2 (restore-background) of frame 2's rect."""
+    from imgray.gifcodec import _lzw_encode
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+                   dtype=np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 0, 0)  # GCT 4 entries
+    out += pal.tobytes()
+
+    def frame(idx, x0, y0, w, h, transp=None, disposal=0):
+        b = bytearray()
+        flags = disposal << 2 | (0x01 if transp is not None else 0)
+        b += b"\x21\xf9\x04" + bytes([flags, 0, 0, transp or 0]) + b"\x00"
+        b += b"\x2c" + struct.pack("<HHHHB", x0, y0, w, h, 0)
+        b.append(2)  # min code size
+        payload = _lzw_encode(np.asarray(idx, dtype=np.uint16).reshape(-1), 2)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i:i + 255]
+            b.append(len(chunk))
+            b += chunk
+        b += b"\x00"
+        return b
+
+    out += frame(np.full((4, 4), 1), 0, 0, 4, 4)             # all red
+    out += frame([[2, 3], [3, 2]], 1, 1, 2, 2, transp=3,     # green patch,
+                 disposal=2)                                  # idx3=transp
+    out += frame(np.full((1, 1), 2), 0, 0, 1, 1)             # green dot
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_frames_composition():
+    from imgray.gifcodec import gif_decode, gif_decode_frames
+
+    frames = gif_decode_frames(_anim_gif())
+    assert len(frames) == 3
+    f1, f2, f3 = frames
+    assert (f1 == [200, 0, 0]).all()  # full red canvas
+    # frame 2: green at (1,1) and (2,2); transparent idx3 shows red
+    assert (f2[1, 1] == [0, 200, 0]).all()
+    assert (f2[2, 2] == [0, 200, 0]).all()
+    assert (f2[1, 2] == [200, 0, 0]).all()  # transparent -> underlying
+    assert (f2[2, 1] == [200, 0, 0]).all()
+    assert (f2[0, 0] == [200, 0, 0]).all()  # outside the patch rect
+    # frame 3: disposal-2 blacked frame 2's rect; new green dot at (0,0)
+    assert (f3[0, 0] == [0, 200, 0]).all()
+    assert (f3[1, 1] == [0, 0, 0]).all()    # restored background
+    assert (f3[3, 3] == [200, 0, 0]).all()  # untouched canvas
+    # gif_decode == first composed frame
+    assert np.array_equal(gif_decode(_anim_gif()), f1)
+
+
+def test_video_stage_real_gif_frames(ray_session):
+    import pyarrow as pa
+    from imgray.ops.media import VideoFrameSampleStage
+
+    stage = VideoFrameSampleStage(n_frames=2)
+    batch = pa.table({"media_id": ["a"], "bytes": [_anim_gif()]})
+    out = stage(batch)
+    assert out.num_rows == 2  # 3 frames sampled down to 2
+    from imgray.codecs import png_decode
+    first = png_decode(out.column("frame_png")[0].as_py())
+    assert (first == [200, 0, 0]).all()
