@@ -219,6 +219,10 @@ def decode_image(data: bytes) -> np.ndarray:
         from .gifcodec import gif_decode
 
         return gif_decode(data)
+    if fmt == "webp":
+        from .webpcodec import webp_decode  # lossless VP8L only
+
+        return webp_decode(data)
     raise ValueError(f"cannot decode format {fmt or 'unknown'}")
 
 
@@ -237,6 +241,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         from .gifcodec import gif_encode
 
         return gif_encode(img)
+    if fmt == "webp":
+        from .webpcodec import webp_encode  # lossless VP8L
+
+        return webp_encode(img)
     raise ValueError(f"cannot encode format {fmt}")
 
 

@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from .. import codecs as C
 
-DECODABLE = ("png", "bmp", "lsy", "jpg", "gif")
+DECODABLE = ("png", "bmp", "lsy", "jpg", "gif", "webp")
 
 
 def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:

@@ -197,11 +197,11 @@ class SynthWeb:
         if path.startswith("/raw/"):
             return Response(200, C.png_encode(img), "image/png")
         ext = name.rsplit(".", 1)[-1] if "." in name else "png"
-        fmt = {"png": "png", "bmp": "bmp", "lsy": "lsy",
-               "jpg": "jpg", "gif": "gif"}.get(ext, "png")
+        fmt = {"png": "png", "bmp": "bmp", "lsy": "lsy", "jpg": "jpg",
+               "gif": "gif", "webp": "webp"}.get(ext, "png")
         ctype = {"png": "image/png", "bmp": "image/bmp",
                  "lsy": "image/lsy", "jpg": "image/jpeg",
-                 "gif": "image/gif"}[fmt]
+                 "gif": "image/gif", "webp": "image/webp"}[fmt]
         if fmt == "jpg" and seed % 2:
             # half the synthetic JPEGs are progressive (SOF2, successive
             # approximation) — like the real web — exercising the
@@ -216,11 +216,13 @@ class SynthWeb:
     def _img_url(self, hname: str, aid: str, p: int, k: int) -> str:
         """One image URL, form rotated by k to cover the URL algebra."""
         tok = f"{hname.split('.')[0]}-{aid}p{p}i{k}"
-        form = k % (8 if self.spec.mixed_formats else 6)
+        form = k % (9 if self.spec.mixed_formats else 6)
         if form == 6:
             return f"https://{CDN}/img/{tok}.jpg"
         if form == 7:
             return f"https://{CDN}/img/{tok}.gif"
+        if form == 8:
+            return f"https://{CDN}/img/{tok}.webp"
         if form == 0:
             return f"https://{CDN}/img/{tok}.png"
         if form == 1:
