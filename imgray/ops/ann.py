@@ -84,8 +84,11 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10,
     out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
     rows = t.to_pylist()
     for qi in range(q.shape[0]):
-        cand = [(r["cos"], r["vec_id"]) for r in rows if r["query_id"] == qi]
-        top = heapq.nlargest(k, cand)
+        # rank by (cos DESC, vec_id ASC) on UNROUNDED cos — the same
+        # deterministic tie-break the SQL oracle uses
+        cand = [(-r["cos"], r["vec_id"]) for r in rows
+                if r["query_id"] == qi]
+        top = [(-nc, vid) for nc, vid in heapq.nsmallest(k, cand)]
         for rank, (c, vid) in enumerate(top):
             out["query_id"].append(qi)
             out["rank"].append(rank)
@@ -187,8 +190,10 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
     out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
     rows = t.to_pylist()
     for qi in range(q.shape[0]):
-        cand = [(r["cos"], r["vec_id"]) for r in rows if r["query_id"] == qi]
-        for rank, (c, vid) in enumerate(heapq.nlargest(k, cand)):
+        cand = [(-r["cos"], r["vec_id"]) for r in rows
+                if r["query_id"] == qi]
+        top = [(-nc, vid) for nc, vid in heapq.nsmallest(k, cand)]
+        for rank, (c, vid) in enumerate(top):
             out["query_id"].append(qi)
             out["rank"].append(rank)
             out["vec_id"].append(vid)

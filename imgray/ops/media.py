@@ -176,17 +176,25 @@ class VideoFrameSampleStage:
             if data and data[:3] == b"GIF":
                 from ..gifcodec import gif_decode_frames
 
-                frames = gif_decode_frames(data)
-                if len(frames) > self.n:  # evenly-spaced sample
-                    pick = np.linspace(0, len(frames) - 1,
-                                       self.n).round().astype(int)
-                    frames = [frames[i] for i in pick]
-                for f, img in enumerate(frames):
-                    out["media_id"].append(mid)
-                    out["frame_no"].append(f)
-                    out["frame_png"].append(C.png_encode(img))
-                continue
-            if not self.fake:
+                try:
+                    frames = gif_decode_frames(data)
+                except Exception:
+                    # corrupt/truncated GIF: tolerate unless strict —
+                    # fall through to the deterministic fake frames
+                    if not self.fake:
+                        raise
+                    frames = None
+                if frames is not None:
+                    if len(frames) > self.n:  # evenly-spaced sample
+                        pick = np.linspace(0, len(frames) - 1,
+                                           self.n).round().astype(int)
+                        frames = [frames[i] for i in pick]
+                    for f, img in enumerate(frames):
+                        out["media_id"].append(mid)
+                        out["frame_no"].append(f)
+                        out["frame_png"].append(C.png_encode(img))
+                    continue
+            elif not self.fake:
                 raise NotImplementedError(
                     "video decode requires codec libraries not in this "
                     "container")

@@ -373,15 +373,13 @@ def q_ann_topk(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     t = cosine_topk(ds, _queries_for_ann(sf_dir), k=5)
-    rows = sorted(t.to_pylist(),
-                  key=lambda r: (r["query_id"], -r["cos"], r["vec_id"]))
+    # cosine_topk already ranks by (cos DESC, vec_id ASC) on unrounded
+    # cos — exactly the oracle's ORDER BY — so reuse its rank verbatim
+    rows = sorted(t.to_pylist(), key=lambda r: (r["query_id"], r["rank"]))
     out = {"query_id": [], "rank": [], "vec_id": [], "cos_u": []}
-    rank, prev_q = 0, None
     for r in rows:
-        rank = rank + 1 if r["query_id"] == prev_q else 0
-        prev_q = r["query_id"]
         out["query_id"].append(r["query_id"])
-        out["rank"].append(rank)
+        out["rank"].append(r["rank"])
         out["vec_id"].append(r["vec_id"])
         out["cos_u"].append(int(round(r["cos"] * 1e6)))
     return pa.table({k: pa.array(v, type=pa.int64())

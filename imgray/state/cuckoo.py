@@ -203,9 +203,17 @@ class SeenShard:
         return out
 
     def drain_contested(self) -> dict[str, str]:
-        """Contested keys of the round being finalized → winning seq."""
+        """Contested keys of the round being finalized → winning seq.
+
+        Also prunes the whole per-round claims dict: cross-round
+        first-wins needs only the exact set (a drained key's later
+        claims find ``k in exact`` and lose), and rounds are barriered,
+        so no same-round retry can arrive after finalize — claims
+        memory stays bounded by one round's working set instead of the
+        whole crawl's image-id space."""
         out = {k: self.claims[k][1] for k in self.contested}
         self.contested = set()
+        self.claims = {}
         return out
 
     def restore(self, keys: list[str]) -> int:

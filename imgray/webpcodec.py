@@ -602,6 +602,11 @@ def _write_huffman_code(bw: _LsbWriter, lengths: list[int]) -> dict:
     for sym in _CLC_ORDER:
         bw.write(clc_lengths[sym], 3)
     clc_codes = _codes_from_lengths(clc_lengths)
+    if len(clc_codes) == 1:
+        # single-symbol codes consume ZERO bits on the decode side —
+        # mirror that (e.g. every alphabet length identical)
+        only = next(iter(clc_codes))
+        clc_codes[only] = (0, 0)
     bw.write(0, 1)  # no max_symbol shortcut
     for ln in lengths:
         c, cl = clc_codes[ln]
@@ -754,7 +759,10 @@ def _encode_pixels(bw: _LsbWriter, flat: np.ndarray, w: int,
         px = int(flat[pos])
         if use_lz77 and pos > 0 and px == int(flat[pos - 1]):
             run = 1
-            while pos + run < npix and int(flat[pos + run]) == px:
+            # VP8L lengths cap at 4096 (prefix code space is 24 codes);
+            # longer runs emit as multiple copy tokens
+            while pos + run < npix and run < 4096 \
+                    and int(flat[pos + run]) == px:
                 run += 1
             if run >= 3:
                 tokens.append(("copy", run, 1))

@@ -196,3 +196,17 @@ def test_video_stage_real_gif_frames(ray_session):
     from imgray.codecs import png_decode
     first = png_decode(out.column("frame_png")[0].as_py())
     assert (first == [200, 0, 0]).all()
+
+
+def test_video_stage_tolerates_corrupt_gif(ray_session):
+    """Code-review regression: truncated GIF bytes fall back to the
+    deterministic fake frames instead of crashing the stage."""
+    import pyarrow as pa
+    from imgray.ops.media import VideoFrameSampleStage
+
+    stage = VideoFrameSampleStage(n_frames=2, fake=True)
+    batch = pa.table({"media_id": ["bad"], "bytes": [b"GIF89a\x01\x02"]})
+    out = stage(batch)
+    assert out.num_rows == 2  # fake frames emitted
+    with pytest.raises(Exception):
+        VideoFrameSampleStage(n_frames=2, fake=False)(batch)

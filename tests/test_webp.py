@@ -79,3 +79,23 @@ def test_phash_stable_through_webp():
                   np.ones((8, 8))).astype(np.uint8)
     img = np.stack([img] * 3, axis=2)
     assert phash64(decode_image(webp_encode(img))) == phash64(img)
+
+
+def test_long_uniform_run_splits_at_4096():
+    """Code-review regression: runs longer than the VP8L length cap
+    (4096) must split into multiple copy tokens, not overflow the
+    24-code length space."""
+    img = np.zeros((70, 70, 3), dtype=np.uint8)  # 4900-px run
+    assert np.array_equal(webp_decode(webp_encode(img)), img)
+    img2 = np.full((70, 71, 3), 7, dtype=np.uint8)
+    assert np.array_equal(webp_decode(webp_encode(img2, cache_bits=5)),
+                          img2)
+
+
+def test_single_symbol_code_length_code():
+    """Code-review regression: all-equal code lengths make the
+    code-length code single-symbol, which consumes ZERO bits."""
+    base = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.stack([base, base[::-1], base.T], axis=2)
+    data = webp_encode(img, use_subtract_green=False, use_lz77=False)
+    assert np.array_equal(webp_decode(data), img)
