@@ -175,3 +175,55 @@ def quality_bp_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "stop_bp": pa.array(rows["stop_bp"], type=pa.int64()),
         "score_bp": pa.array(rows["score_bp"], type=pa.int64()),
     })
+
+
+# ------------------------------------------------ benchmark decontamination
+
+def ws_ngrams(text: str, n: int = 8) -> list[str]:
+    """Whitespace-token n-grams joined with single spaces — the same
+    tokenizer as token_count_batch (trim + split on \\s+), so the
+    DuckDB oracle can reproduce it exactly."""
+    toks = (text or "").split()
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def extract_benchmark_ngrams(ds, pred_fn, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 8) -> set:
+    """Collect the benchmark side's n-gram set (tiny: benchmarks are
+    thousands of documents, not billions).  ``pred_fn(batch) → mask``
+    selects benchmark rows per batch."""
+    import pyarrow as _pa
+
+    def grams(batch: _pa.Table) -> _pa.Table:
+        keep = pred_fn(batch)
+        sub = batch.filter(keep)
+        out = []
+        for t in sub.column(text_col).to_pylist():
+            out.extend(ws_ngrams(t, n))
+        return _pa.table({"gram": _pa.array(sorted(set(out)),
+                                            type=_pa.string())})
+
+    rows = ds.map_batches(grams, batch_format="pyarrow").take_all()
+    return {r["gram"] for r in rows}
+
+
+def decontaminate_batch(batch: pa.Table, bench_ref, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 8) -> pa.Table:
+    """Flag training documents that overlap a benchmark n-gram set
+    (decontamination, the standard LLM-data hygiene step): per doc,
+    the count of DISTINCT benchmark n-grams present and a contaminated
+    flag.  ``bench_ref`` is a ray.put handle to the benchmark set —
+    broadcast once, read zero-copy per task, no shuffle."""
+    import ray as _ray
+
+    bench = _ray.get(bench_ref) if not isinstance(bench_ref, set) \
+        else bench_ref
+    ids = batch.column(id_col).to_pylist()
+    hits = []
+    for t in batch.column(text_col).to_pylist():
+        hits.append(len(set(ws_ngrams(t, n)) & bench))
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "bench_hits": pa.array(hits, type=pa.int64()),
+        "contaminated": pa.array([h > 0 for h in hits], type=pa.bool_()),
+    })

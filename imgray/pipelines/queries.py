@@ -393,6 +393,32 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, _queries_for_ann(sf_dir), k=5, nlist=8, nprobe=3)
 
 
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination (LLM-data hygiene): documents whose
+    whitespace-8-gram sets overlap a 'benchmark' set — here the docs
+    with doc_id % 97 == 0 stand in for the benchmark, so the planted
+    positives are exactly those docs (plus any true cross-doc
+    overlaps).  The benchmark set is broadcast via ray.put; the scan is
+    one map_batches pass — no shuffle."""
+    from functools import partial
+
+    import ray as _ray
+
+    from ..ops.text import decontaminate_batch, extract_benchmark_ngrams
+
+    def _is_bench(b: pa.Table):  # doc_id % 97 == 0
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.array(d % 97 == 0)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = extract_benchmark_ngrams(ds, _is_bench)
+    bench_ref = _ray.put(bench)
+    out = _collect(ds.map_batches(
+        partial(decontaminate_batch, bench_ref=bench_ref),
+        batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
 def q_langid(sf_dir: str):
     from ..ops.text import langid_batch
 
@@ -676,6 +702,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "hash_sample": q_hash_sample,
     "ann_topk": q_ann_topk,
+    "decontam": q_decontam,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -868,6 +895,26 @@ ORACLE_SQL = {
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(length(text) // 4 + 1 AS BIGINT) AS bpe_est
         FROM documents""",
+    "decontam": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents),
+        g AS (
+            SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ')
+                       AS gram
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t) - 7, 0))) AS i)),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        SELECT d.doc_id,
+               CAST(coalesce(h.hits, 0) AS BIGINT) AS bench_hits,
+               coalesce(h.hits, 0) > 0 AS contaminated
+        FROM documents d
+        LEFT JOIN (
+            SELECT g.doc_id, count(DISTINCT g.gram) AS hits
+            FROM g JOIN bench USING (gram)
+            GROUP BY g.doc_id) h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id""",
 }
 
 
