@@ -563,3 +563,71 @@ def phash_neardup_pairs(images_ds, id_col: str = "image_id",
         "key", bucket_pairs, schema)
     t = _collect_pairs(pairs, schema)
     return _dedup_pairs(t, "dist", id_type=pa.string())
+
+
+# ---------------------------------------------- exact substring dedup
+
+def shared_ngram_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 32, min_shared: int = 1,
+                       num_partitions: int = 64):
+    """Exact-substring near-dup pairs (the Lee et al. 2022 "Deduplicating
+    Training Data" style signal): document pairs sharing at least
+    ``min_shared`` distinct whitespace-token n-grams.
+
+    Shape: per-doc DISTINCT n-gram hashes (uint64 blake2b of the
+    space-joined token window — only hashes enter the shuffle, ~8 B per
+    distinct window) → coarse hash-partition groupby → per-bucket pair
+    counts → driver merge summing shared-gram counts per pair.  The
+    gram string itself never leaves the producing block; a 64-bit
+    collision across two docs' grams is the only approximation
+    (~2^-64 per pair, same class as the fingerprint ops).
+    """
+    from .text import ws_ngrams  # same tokenizer as the decontam oracle
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids_out, keys_out = [], []
+        for did, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            grams = set(ws_ngrams(text or "", n))
+            for g in grams:
+                keys_out.append(int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                    "big") >> 1)
+                ids_out.append(did)
+        return pa.table({"id": pa.array(ids_out, type=pa.int64()),
+                         "key": pa.array(keys_out, type=pa.int64())})
+
+    def per_part(part: pa.Table) -> pa.Table:
+        # aggregate shared-gram counts per pair INSIDE the partition —
+        # the driver sees one row per (pair, partition), not one per
+        # shared gram
+        keys = part.column("key").to_pylist()
+        ids_col = part.column("id").to_pylist()
+        counts: dict[tuple, int] = {}
+        for i, j in _key_runs(keys):
+            run = sorted(set(ids_col[i:j]))
+            for x in range(len(run)):
+                for y in range(x + 1, len(run)):
+                    p = (run[x], run[y])
+                    counts[p] = counts.get(p, 0) + 1
+        ks = sorted(counts)
+        return pa.table({"a": pa.array([k[0] for k in ks], type=pa.int64()),
+                         "b": pa.array([k[1] for k in ks], type=pa.int64()),
+                         "shared": pa.array([counts[k] for k in ks],
+                                            type=pa.int64())})
+
+    PART = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                      ("shared", pa.int64())])
+    parts = coarse_partition_groups(
+        ds.map_batches(sigs, batch_format="pyarrow"), "key", per_part,
+        num_partitions)
+    t = _collect_pairs(parts, PART)
+    counts2: dict[tuple, int] = {}
+    for x, y, s in zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
+                       t.column("shared").to_pylist()):
+        counts2[(x, y)] = counts2.get((x, y), 0) + s
+    ks = sorted(k for k, v in counts2.items() if v >= min_shared)
+    return pa.table({"a": pa.array([k[0] for k in ks], type=pa.int64()),
+                     "b": pa.array([k[1] for k in ks], type=pa.int64()),
+                     "shared": pa.array([counts2[k] for k in ks],
+                                        type=pa.int64())})

@@ -419,6 +419,17 @@ def q_decontam(sf_dir: str):
     return out.sort_by("doc_id")
 
 
+def q_substring_pairs(sf_dir: str):
+    """Exact-substring dedup pairs (Lee et al. 2022 style): document
+    pairs sharing ≥1 distinct whitespace-32-gram.  Only 8-byte gram
+    hashes enter the shuffle; per-partition pair-count partials merge
+    on the driver."""
+    from ..ops.dedup import shared_ngram_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return shared_ngram_pairs(ds, n=32)
+
+
 def q_langid(sf_dir: str):
     from ..ops.text import langid_batch
 
@@ -703,6 +714,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "ann_topk": q_ann_topk,
     "decontam": q_decontam,
+    "substring_pairs": q_substring_pairs,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -915,6 +927,20 @@ ORACLE_SQL = {
             FROM g JOIN bench USING (gram)
             GROUP BY g.doc_id) h ON d.doc_id = h.doc_id
         ORDER BY d.doc_id""",
+    "substring_pairs": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, i, i + 31), ' ') AS gram
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t) - 31, 0))) AS i))
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        GROUP BY 1, 2""",
 }
 
 
