@@ -1,0 +1,228 @@
+"""Corpus-level text operators for LLM training-data pipelines:
+Gopher-style repetition statistics, corpus n-gram counts, an inverted
+index, and IDF-rare-term selection.
+
+All token work uses the same tokenizer as ``token_count_batch`` /
+``decontaminate_batch`` (trim, then split on ``\\s+``) so every
+operator here is exactly reproducible by a DuckDB oracle with
+``regexp_split_to_array(trim(text), '\\s+')``.
+
+Scale notes (100 TB):
+- per-doc stats are one ``map_batches`` pass, no shuffle;
+- corpus n-gram counts pre-aggregate per block (Counter partial) so
+  only (gram, partial-count) rows enter the coarse hash-partitioned
+  combine — never raw token streams;
+- the inverted index shuffles within-block-distinct (term, doc_id)
+  pairs, combines per term-partition, and BOUNDS its output (df +
+  first-P posting ids) so a stop-word's posting list cannot blow up a
+  partition;
+- rare-term selection broadcasts the (vocabulary-sized) df map via
+  ``ray.put`` once instead of a per-doc shuffle join.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import coarse_partition_groups
+
+
+def _tokens(text: str) -> list[str]:
+    return (text or "").split()
+
+
+def _bp(v: float) -> int:
+    """Basis points with round-half-away (matches DuckDB
+    ``floor(x*10000 + 0.5)``)."""
+    return int(math.floor(v * 10000.0 + 0.5))
+
+
+# ------------------------------------------------- repetition statistics
+
+def repetition_stats_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Gopher-style per-document repetition features (Rae et al. 2021,
+    table A1 family), emitted as integer basis points so the DuckDB
+    oracle reproduces them bit-exactly:
+
+    - ``top_bigram_bp``   — occurrences of the most frequent token
+      bigram / total bigram occurrences;
+    - ``top_trigram_bp``  — same for trigrams;
+    - ``dup_5gram_bp``    — fraction of 5-gram occurrences that are
+      repeats: ``(total - distinct) / total``.
+
+    Documents too short for an n-gram score 0 for it.
+    """
+    ids = batch.column("doc_id")
+    top2, top3, dup5 = [], [], []
+    for t in batch.column(text_col).to_pylist():
+        toks = _tokens(t)
+
+        def top_frac(n: int) -> int:
+            if len(toks) < n:
+                return 0
+            grams = Counter(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            total = len(toks) - n + 1
+            return _bp(max(grams.values()) / total)
+
+        top2.append(top_frac(2))
+        top3.append(top_frac(3))
+        n5 = len(toks) - 4
+        if n5 < 2:
+            dup5.append(0)
+        else:
+            distinct = len({" ".join(toks[i:i + 5]) for i in range(n5)})
+            dup5.append(_bp((n5 - distinct) / n5))
+    return pa.table({
+        "doc_id": ids,
+        "top_bigram_bp": pa.array(top2, type=pa.int64()),
+        "top_trigram_bp": pa.array(top3, type=pa.int64()),
+        "dup_5gram_bp": pa.array(dup5, type=pa.int64()),
+    })
+
+
+# --------------------------------------------------- corpus n-gram counts
+
+def ngram_counts(ds, n: int = 2, top_k: int = 100,
+                 text_col: str = "text",
+                 num_partitions: int = 64) -> pa.Table:
+    """Corpus-wide top-k token n-grams by total occurrence count.
+
+    Per-block Counter partial → (gram, cnt) rows → coarse
+    hash-partitioned sum → per-partition top-k → tiny driver merge.
+    Only aggregated gram rows cross the shuffle; the driver sees at
+    most ``top_k × num_partitions`` rows.  Ties break (cnt DESC,
+    gram ASC) on both sides.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _tokens(t)
+            c.update(" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1))
+        if not c:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        grams, cnts = zip(*c.items())
+        return pa.table({"gram": pa.array(grams, type=pa.string()),
+                         "cnt": pa.array(cnts, type=pa.int64())})
+
+    def combine(part: pa.Table) -> pa.Table:
+        g = part.group_by("gram").aggregate([("cnt", "sum")])
+        t = pa.table({"gram": g.column("gram"),
+                      "cnt": pc.cast(g.column("cnt_sum"), pa.int64())})
+        # decomposable top-k: the global top-k is within each
+        # partition's local top-k because grams do not span partitions
+        idx = pc.sort_indices(t, sort_keys=[("cnt", "descending"),
+                                            ("gram", "ascending")])
+        return t.take(idx[:top_k])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    parts = coarse_partition_groups(partials, "gram", combine,
+                                    num_partitions)
+    merged = pa.concat_tables(
+        [pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    idx = pc.sort_indices(merged, sort_keys=[("cnt", "descending"),
+                                             ("gram", "ascending")])
+    return merged.take(idx[:top_k])
+
+
+# -------------------------------------------------------- inverted index
+
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
+                   posting_cap: int = 20,
+                   num_partitions: int = 64):
+    """Term → (document frequency, first ``posting_cap`` posting ids).
+
+    Within-block-distinct (term, doc_id) pairs are the only thing
+    shuffled; the per-term combine emits a BOUNDED row — df plus a
+    comma-joined prefix of the sorted posting list — so hot terms
+    cannot blow up a partition or the driver.  Returns
+    Dataset[{term, df, posting}].
+    """
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        terms, ids = [], []
+        dcol = batch.column(id_col).to_pylist()
+        for d, t in zip(dcol, batch.column(text_col).to_pylist()):
+            for w in set(_tokens(t)):
+                terms.append(w)
+                ids.append(d)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         id_col: pa.array(ids, type=pa.int64())})
+
+    def combine(part: pa.Table) -> pa.Table:
+        terms, dfs, postings = [], [], []
+        srt = part.sort_by([("term", "ascending"),
+                            (id_col, "ascending")])
+        tcol = srt.column("term").to_pylist()
+        dcol = srt.column(id_col).to_pylist()
+        i, n = 0, len(tcol)
+        while i < n:
+            j = i + 1
+            while j < n and tcol[j] == tcol[i]:
+                j += 1
+            uniq = sorted(set(dcol[i:j]))
+            terms.append(tcol[i])
+            dfs.append(len(uniq))
+            postings.append(",".join(str(d) for d in uniq[:posting_cap]))
+            i = j
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "df": pa.array(dfs, type=pa.int64()),
+                         "posting": pa.array(postings, type=pa.string())})
+
+    prs = ds.map_batches(pairs, batch_format="pyarrow")
+    return coarse_partition_groups(prs, "term", combine, num_partitions)
+
+
+# ------------------------------------------------------ IDF-rare terms
+
+def rare_terms(ds, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> pa.Table:
+    """Per document, the ``k`` rarest distinct terms by corpus document
+    frequency — the integer-deterministic core of a TF-IDF "most
+    distinctive terms" selection (rank by ``(df ASC, term ASC)``; no
+    float scores, so the DuckDB oracle matches bit-exactly).
+
+    Two passes: (1) the inverted-index combine yields the df map,
+    which is vocabulary-sized and broadcast once via ``ray.put``;
+    (2) one ``map_batches`` scan ranks each doc's distinct terms
+    against the broadcast map.  No per-doc shuffle join.
+    """
+    import ray
+
+    df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
+                            posting_cap=0)
+    df_map = {}
+    for b in df_tab.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        df_map.update(zip(t.column("term").to_pylist(),
+                          t.column("df").to_pylist()))
+    df_ref = ray.put(df_map)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref) if not isinstance(df_ref, dict) else df_ref
+        out_id, out_rank, out_term, out_df = [], [], [], []
+        dcol = batch.column(id_col).to_pylist()
+        for d, t in zip(dcol, batch.column(text_col).to_pylist()):
+            terms = sorted(set(_tokens(t)), key=lambda w: (dfm[w], w))
+            for r, w in enumerate(terms[:k], start=1):
+                out_id.append(d)
+                out_rank.append(r)
+                out_term.append(w)
+                out_df.append(dfm[w])
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "rank": pa.array(out_rank, type=pa.int64()),
+            "term": pa.array(out_term, type=pa.string()),
+            "df": pa.array(out_df, type=pa.int64()),
+        })
+
+    return ds.map_batches(rank, batch_format="pyarrow")

@@ -177,6 +177,55 @@ def quality_bp_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+# ----------------------------------------------------------- PII scrubbing
+
+# Patterns restricted to syntax RE2 (DuckDB) and Python `re` treat
+# identically (greedy leftmost-first, no backrefs/lookaround), so the
+# scrub is exactly reproducible by a `regexp_replace(..., 'g')` oracle.
+_PII_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PII_PHONE = re.compile(r"\+?[0-9]{1,3}[- ][0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}")
+_PII_IPV4 = re.compile(
+    r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+
+
+def pii_scrub(text: str) -> tuple[str, int, int, int]:
+    """Redact emails, phone-like numbers and IPv4 addresses (standard
+    LLM training-data hygiene).  Returns (redacted, n_email, n_phone,
+    n_ip).  Replacement order is fixed (email → phone → ip) so engine
+    and oracle see identical intermediate strings."""
+    t = text or ""
+    n_email = len(_PII_EMAIL.findall(t))
+    t = _PII_EMAIL.sub("<EMAIL>", t)
+    n_phone = len(_PII_PHONE.findall(t))
+    t = _PII_PHONE.sub("<PHONE>", t)
+    n_ip = len(_PII_IPV4.findall(t))
+    t = _PII_IPV4.sub("<IP>", t)
+    return t, n_email, n_phone, n_ip
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """One map_batches pass: per doc, PII counts plus the md5 of the
+    redacted text (the hash keeps the oracle row narrow while still
+    pinning every replaced byte)."""
+    import hashlib
+
+    n_em, n_ph, n_ip, fps = [], [], [], []
+    for t in batch.column(text_col).to_pylist():
+        red, e, p, i = pii_scrub(t)
+        n_em.append(e)
+        n_ph.append(p)
+        n_ip.append(i)
+        fps.append(hashlib.md5(red.encode()).hexdigest())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_email": pa.array(n_em, type=pa.int64()),
+        "n_phone": pa.array(n_ph, type=pa.int64()),
+        "n_ip": pa.array(n_ip, type=pa.int64()),
+        "redacted_md5": pa.array(fps, type=pa.string()),
+    })
+
+
 # ------------------------------------------------ benchmark decontamination
 
 def ws_ngrams(text: str, n: int = 8) -> list[str]:

@@ -479,6 +479,75 @@ def q_fingerprint_md5(sf_dir: str):
     return _collect(ds.map_batches(f, batch_format="pyarrow"))
 
 
+# ------------------------------------------------- corpus / hygiene ops
+
+def q_rep_stats(sf_dir: str):
+    """Gopher-style repetition features in integer basis points (top
+    bigram / trigram fraction, duplicate-5-gram fraction) — one
+    map_batches pass, DuckDB oracle bit-exact."""
+    from ..ops.corpus import repetition_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(ds.map_batches(repetition_stats_batch,
+                                   batch_format="pyarrow"))
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub (emails / phones / IPv4) with planted positives: docs
+    with doc_id % 13 == 0 get a deterministic contact-info suffix in
+    BOTH the Ray path and the SQL oracle, so the counts are nonzero
+    and every replaced byte is pinned by the redacted md5."""
+    from ..ops.text import pii_scrub_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            if d % 13 == 0:
+                t = (t + f" contact user{d}@example.com or +1 555-000-"
+                     f"{d % 10000:04d} at 192.168.{d % 256}.{(d * 7) % 256}")
+            out.append(t)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    return _collect(ds.map_batches(aug, batch_format="pyarrow")
+                      .map_batches(pii_scrub_batch, batch_format="pyarrow"))
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-100 token bigrams: per-block Counter partials,
+    coarse hash-partitioned combine, decomposable per-partition top-k,
+    tiny driver merge."""
+    from ..ops.corpus import ngram_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_counts(ds, n=2, top_k=100)
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index: term → document frequency + first-20 posting
+    ids (comma-joined).  Only within-block-distinct (term, doc_id)
+    pairs shuffle; output rows are bounded per term."""
+    from ..ops.corpus import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(inverted_index(ds, posting_cap=20))
+
+
+def q_rare_terms(sf_dir: str):
+    """Per-doc 3 rarest terms by corpus document frequency (the
+    integer-deterministic core of TF-IDF term selection): df map from
+    the inverted-index combine, broadcast via ray.put, ranked in one
+    scan — no per-doc shuffle join."""
+    from ..ops.corpus import rare_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(rare_terms(ds, k=3))
+
+
 _FLAGSHIP_CACHE: dict[int, object] = {}
 
 
@@ -715,6 +784,11 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "decontam": q_decontam,
     "substring_pairs": q_substring_pairs,
+    "rep_stats": q_rep_stats,
+    "pii_redact": q_pii_redact,
+    "top_bigrams": q_top_bigrams,
+    "inverted_index": q_inverted_index,
+    "rare_terms": q_rare_terms,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -927,6 +1001,126 @@ ORACLE_SQL = {
             FROM g JOIN bench USING (gram)
             GROUP BY g.doc_id) h ON d.doc_id = h.doc_id
         ORDER BY d.doc_id""",
+    "rep_stats": r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+            FROM documents),
+        b2 AS (
+            SELECT doc_id, array_to_string(list_slice(tk, i, i + 1), ' ')
+                       AS g
+            FROM t, LATERAL (SELECT unnest(generate_series(
+                1, greatest(len(tk) - 1, 0))) AS i)),
+        c2 AS (
+            SELECT doc_id, sum(cnt) AS n, max(cnt) AS m
+            FROM (SELECT doc_id, g, count(*) AS cnt FROM b2
+                  GROUP BY doc_id, g)
+            GROUP BY doc_id),
+        b3 AS (
+            SELECT doc_id, array_to_string(list_slice(tk, i, i + 2), ' ')
+                       AS g
+            FROM t, LATERAL (SELECT unnest(generate_series(
+                1, greatest(len(tk) - 2, 0))) AS i)),
+        c3 AS (
+            SELECT doc_id, sum(cnt) AS n, max(cnt) AS m
+            FROM (SELECT doc_id, g, count(*) AS cnt FROM b3
+                  GROUP BY doc_id, g)
+            GROUP BY doc_id),
+        b5 AS (
+            SELECT doc_id, array_to_string(list_slice(tk, i, i + 4), ' ')
+                       AS g
+            FROM t, LATERAL (SELECT unnest(generate_series(
+                1, greatest(len(tk) - 4, 0))) AS i)),
+        c5 AS (
+            SELECT doc_id, count(*) AS n, count(DISTINCT g) AS d
+            FROM b5 GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(coalesce(floor(c2.m / CAST(c2.n AS DOUBLE) * 10000.0 + 0.5),
+                        0) AS BIGINT) AS top_bigram_bp,
+          CAST(coalesce(floor(c3.m / CAST(c3.n AS DOUBLE) * 10000.0 + 0.5),
+                        0) AS BIGINT) AS top_trigram_bp,
+          CAST(coalesce(floor((c5.n - c5.d) / CAST(c5.n AS DOUBLE)
+                              * 10000.0 + 0.5), 0) AS BIGINT)
+              AS dup_5gram_bp
+        FROM documents d
+        LEFT JOIN c2 ON d.doc_id = c2.doc_id
+        LEFT JOIN c3 ON d.doc_id = c3.doc_id
+        LEFT JOIN c5 ON d.doc_id = c5.doc_id""",
+    "pii_redact": r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 13 = 0 THEN
+                       ' contact user' || doc_id ||
+                       '@example.com or +1 555-000-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                       ' at 192.168.' || CAST(doc_id % 256 AS VARCHAR) ||
+                       '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                   ELSE '' END AS t
+            FROM documents),
+        s1 AS (
+            SELECT doc_id, t,
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM aug),
+        s2 AS (
+            SELECT doc_id, t, t1,
+                   regexp_replace(t1,
+                       '\+?[0-9]{1,3}[- ][0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}',
+                       '<PHONE>', 'g') AS t2
+            FROM s1)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(t1,
+              '\+?[0-9]{1,3}[- ][0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}'))
+              AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(t2,
+              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+              AS BIGINT) AS n_ip,
+          md5(regexp_replace(t2,
+              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+              '<IP>', 'g')) AS redacted_md5
+        FROM s2""",
+    "top_bigrams": r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+            FROM documents),
+        g AS (
+            SELECT array_to_string(list_slice(tk, i, i + 1), ' ') AS gram
+            FROM t, LATERAL (SELECT unnest(generate_series(
+                1, greatest(len(tk) - 1, 0))) AS i)),
+        c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+              FROM g GROUP BY gram)
+        SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 100""",
+    "inverted_index": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents),
+        p AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM t)
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               array_to_string(list_slice(list_sort(list(doc_id)), 1, 20),
+                               ',') AS posting
+        FROM p GROUP BY term""",
+    "rare_terms": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents),
+        p AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM t),
+        df AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+        r AS (
+            SELECT p.doc_id, p.term, df.df,
+                   row_number() OVER (PARTITION BY p.doc_id
+                                      ORDER BY df.df ASC, p.term ASC)
+                       AS rnk
+            FROM p JOIN df USING (term))
+        SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term,
+               CAST(df AS BIGINT) AS df
+        FROM r WHERE rnk <= 3""",
     "substring_pairs": r"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
