@@ -1,0 +1,154 @@
+"""Relational building blocks Ray Data lacks natively: a shuffle
+anti-join and exact distributed quantiles over integer columns.
+
+Scale notes (100 TB):
+- the anti-join never broadcasts the big side: both inputs are reduced
+  to (key[, payload]) rows, tagged, and combined in ONE coarse
+  hash-partitioned groupby — the right side contributes only its
+  per-block-distinct keys to the shuffle;
+- exact quantiles use iterative histogram refinement (the classic
+  distributed k-th-element algorithm): each pass is one streaming
+  ``map_batches`` producing a fixed 64 Ki-bucket count partial per
+  block (512 KiB), summed on the driver; integer domains ≤ 2^32 need
+  at most two passes and nothing is ever sorted or materialized.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import coarse_partition_groups
+
+
+# ------------------------------------------------------------ anti-join
+
+def anti_join(left_ds, right_ds, key: str, payload_cols: list[str],
+              num_partitions: int = 64):
+    """Rows of ``left_ds`` whose ``key`` never appears in ``right_ds``
+    (NOT EXISTS / anti semi-join).
+
+    Both sides shuffle only once: left rows carry their payload, the
+    right side is reduced to per-block-DISTINCT keys before the
+    exchange, and a coarse hash-partitioned combine drops every key
+    run that saw a right-side row.  Returns
+    Dataset[{key, *payload_cols}].
+    """
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key)}
+        for c in payload_cols:
+            cols[c] = batch.column(c)
+        cols["_r"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    # right-side payload columns are null-typed to the left schema so
+    # the two tagged streams union cleanly
+    def tag_right_typed(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.column(key))
+        cols = {key: keys}
+        for c in payload_cols:
+            cols[c] = pa.nulls(len(keys), type=left_types[c])
+        cols["_r"] = pa.array(np.ones(len(keys), dtype=np.int8))
+        return pa.table(cols)
+
+    left_types = {c: left_ds.schema().base_schema.field(c).type
+                  for c in payload_cols}
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(tag_right_typed,
+                                          batch_format="pyarrow")))
+
+    def combine(part: pa.Table) -> pa.Table:
+        kc = part.column(key)
+        # keys with any right-side row
+        right_keys = pc.unique(pc.filter(
+            kc, pc.equal(part.column("_r"), 1)))
+        keep = pc.invert(pc.is_in(kc, value_set=right_keys))
+        keep = pc.and_(keep, pc.equal(part.column("_r"), 0))
+        out = part.filter(keep)
+        return out.drop_columns(["_r"])
+
+    return coarse_partition_groups(tagged, key, combine, num_partitions)
+
+
+# ------------------------------------------------- exact quantiles (int)
+
+_NBUCKETS = 1 << 16
+
+
+def _hist_pass(ds, col: str, spans: list[tuple[int, int]]):
+    """One streaming pass computing a 64 Ki-bucket histogram for EVERY
+    open bracket at once: each block emits one concatenated count
+    vector (512 KiB per bracket), summed on the driver.  Returns
+    (per-bracket histograms, per-bracket bucket widths)."""
+    widths = [max(1, math.ceil((hi - lo + 1) / _NBUCKETS))
+              for lo, hi in spans]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        out = np.empty(_NBUCKETS * len(spans), dtype=np.int64)
+        for si, ((lo, hi), width) in enumerate(zip(spans, widths)):
+            w = v[(v >= lo) & (v <= hi)]
+            b = (w - lo) // width
+            out[si * _NBUCKETS:(si + 1) * _NBUCKETS] = \
+                np.bincount(b, minlength=_NBUCKETS)
+        return pa.table({"h": pa.array([out.tobytes()],
+                                       type=pa.binary())})
+
+    total = np.zeros(_NBUCKETS * len(spans), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for raw in pa.table(b).column("h").to_pylist():
+            total += np.frombuffer(raw, dtype=np.int64)
+    hists = [total[i * _NBUCKETS:(i + 1) * _NBUCKETS]
+             for i in range(len(spans))]
+    return hists, widths
+
+
+def exact_quantiles_int(ds, col: str, qs: list[float]) -> pa.Table:
+    """Exact q-quantiles of an integer column, defined as the k-th
+    smallest value with ``k = ceil(q * n)`` (so the DuckDB oracle is
+    ``ORDER BY v LIMIT 1 OFFSET k-1``).
+
+    Iterative histogram refinement: bound the domain with one min/max
+    aggregate, then narrow every target's bracket simultaneously with
+    64 Ki-bucket counting passes until each bucket width is 1.
+    Integer domains up to 2^32 finish in ≤ 2 passes total (all open
+    brackets share one pass); every pass streams.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Min(col), Max(col), Count())
+    lo0, hi0 = int(agg[f"min({col})"]), int(agg[f"max({col})"])
+    n = int(agg["count()"])
+    targets = {q: max(1, min(n, math.ceil(q * n))) for q in qs}
+
+    results = {}
+    # per-target bracket (lo, hi, within-bracket rank)
+    brackets = {q: (lo0, hi0, k) for q, k in targets.items()}
+    while brackets:
+        open_qs = list(brackets)
+        spans = [(brackets[q][0], brackets[q][1]) for q in open_qs]
+        hists, widths = _hist_pass(ds, col, spans)
+        for q, hist, width in zip(open_qs, hists, widths):
+            lo, hi, k = brackets[q]
+            cum = np.cumsum(hist)
+            b = int(np.searchsorted(cum, k))
+            below = int(cum[b - 1]) if b > 0 else 0
+            blo = lo + b * width
+            bhi = min(hi, blo + width - 1)
+            if width == 1:
+                results[q] = blo
+                del brackets[q]
+            else:
+                brackets[q] = (blo, bhi, k - below)
+    return pa.table({
+        "q_bp": pa.array([int(round(q * 10000)) for q in qs],
+                         type=pa.int64()),
+        "k": pa.array([targets[q] for q in qs], type=pa.int64()),
+        "value": pa.array([results[q] for q in qs], type=pa.int64()),
+    })

@@ -548,6 +548,38 @@ def q_rare_terms(sf_dir: str):
     return _collect(rare_terms(ds, k=3))
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Shuffle anti-join (NOT EXISTS): customers who never placed an
+    URGENT order (the priority filter keeps the result nonzero at
+    every scale factor, so the anti-join provably filters).  Neither
+    side is broadcast — the right side ships only per-block-distinct
+    keys into one coarse hash-partitioned combine."""
+    from ..ops.relational import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+        return pa.table({"c_custkey": t.column("o_custkey")})
+
+    orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .map_batches(urgent_keys, batch_format="pyarrow"))
+    return _collect(anti_join(cust, orders, "c_custkey", ["c_name"]))
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact order-price quantiles (k-th smallest, k = ceil(q*n)) via
+    iterative 64Ki-bucket histogram refinement — no sort, no
+    materialization; all open brackets share each streaming pass."""
+    from ..ops.relational import exact_quantiles_int
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda b: pa.table({"cents": _cents(b.column("o_totalprice"))}),
+        batch_format="pyarrow")
+    return exact_quantiles_int(ds, "cents",
+                               [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 _FLAGSHIP_CACHE: dict[int, object] = {}
 
 
@@ -789,6 +821,8 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "inverted_index": q_inverted_index,
     "rare_terms": q_rare_terms,
+    "customers_no_orders": q_customers_no_orders,
+    "price_quantiles": q_price_quantiles,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1121,6 +1155,23 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term,
                CAST(df AS BIGINT) AS df
         FROM r WHERE rnk <= 3""",
+    "customers_no_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')""",
+    "price_quantiles": """
+        WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                   FROM orders),
+        n AS (SELECT count(*) AS cnt FROM v),
+        qs(q_bp) AS (VALUES (2500), (5000), (7500), (9000), (9900)),
+        t AS (SELECT q_bp,
+                     greatest(1, least(cnt,
+                         CAST(ceil(q_bp / 10000.0 * cnt) AS BIGINT))) AS k
+              FROM qs, n),
+        r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+        SELECT t.q_bp, t.k, r.c AS value
+        FROM t JOIN r ON r.rn = t.k""",
     "substring_pairs": r"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -1,0 +1,63 @@
+"""Unit tests for the shuffle anti-join and the exact distributed
+quantile (histogram-refinement) operators."""
+
+import numpy as np
+import pyarrow as pa
+
+from imgray.ops.relational import anti_join, exact_quantiles_int
+
+
+def _ds(tbl: pa.Table):
+    import ray.data
+
+    return ray.data.from_arrow(tbl)
+
+
+def test_anti_join_handwritten(ray_session):
+    left = _ds(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "name": ["a", "b", "c", "d", "e"],
+    }))
+    right = _ds(pa.table({"k": pa.array([2, 4, 4, 9], type=pa.int64())}))
+    out = pa.concat_tables(
+        [pa.table(b) for b in anti_join(left, right, "k", ["name"])
+         .iter_batches(batch_format="pyarrow")])
+    rows = sorted(out.to_pylist(), key=lambda r: r["k"])
+    assert [(r["k"], r["name"]) for r in rows] == [
+        (1, "a"), (3, "c"), (5, "e")]
+
+
+def test_anti_join_empty_right(ray_session):
+    left = _ds(pa.table({"k": pa.array([7], type=pa.int64()),
+                         "name": ["x"]}))
+    right = _ds(pa.table({"k": pa.array([], type=pa.int64())}))
+    out = pa.concat_tables(
+        [pa.table(b) for b in anti_join(left, right, "k", ["name"])
+         .iter_batches(batch_format="pyarrow")])
+    assert out.to_pylist() == [{"k": 7, "name": "x"}]
+
+
+def test_exact_quantiles_small_domain_one_pass(ray_session):
+    vals = np.array([5, 1, 9, 3, 7, 3, 2, 8, 6, 4], dtype=np.int64)
+    ds = _ds(pa.table({"v": vals}))
+    t = exact_quantiles_int(ds, "v", [0.1, 0.5, 1.0])
+    rows = {r["q_bp"]: r for r in t.to_pylist()}
+    srt = np.sort(vals)
+    # k = ceil(q*n): 1, 5, 10
+    assert rows[1000]["value"] == srt[0]
+    assert rows[5000]["value"] == srt[4]
+    assert rows[10000]["value"] == srt[9]
+    assert rows[5000]["k"] == 5
+
+
+def test_exact_quantiles_wide_domain_forces_refinement(ray_session):
+    # domain >> 64Ki buckets → bucket width > 1 on pass 1, so the
+    # bracket must refine in a second pass
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 2**31, size=5000).astype(np.int64)
+    ds = _ds(pa.table({"v": vals}))
+    t = exact_quantiles_int(ds, "v", [0.25, 0.5, 0.75, 0.99])
+    srt = np.sort(vals)
+    for r in t.to_pylist():
+        k = r["k"]
+        assert r["value"] == srt[k - 1], r
