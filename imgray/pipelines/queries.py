@@ -792,6 +792,167 @@ def q_hash_sample(sf_dir: str):
     return _collect(ds.map_batches(f, batch_format="pyarrow"))
 
 
+def q_rolling_daily(sf_dir: str):
+    """7-day rolling event count (windowed aggregate): the per-day
+    count is the distributed part (per-block partial + tiny combine,
+    as q_daily_events); the ROWS-window rolling sum runs over the
+    few-hundred-row per-day table on the driver — exact integers,
+    same semantics as SQL ``ROWS BETWEEN 6 PRECEDING AND CURRENT
+    ROW`` (present rows, calendar gaps not filled)."""
+    daily = q_daily_events(sf_dir).sort_by("day")
+    n = daily.column("n").to_numpy(zero_copy_only=False)
+    cs = np.cumsum(n)
+    roll = cs - np.concatenate([np.zeros(min(7, len(n)), dtype=cs.dtype),
+                                cs[:-7]])
+    return pa.table({"day": daily.column("day"), "n": daily.column("n"),
+                     "roll7": pa.array(roll, type=pa.int64())})
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: the 50 lowest-Knuth-hash docs
+    PER LANGUAGE (the corpus-mixing primitive — fix a per-domain
+    budget without an RNG).  Decomposable top-k: each block keeps its
+    own 50-per-lang, the small union reduces via groupby(lang) —
+    no full shuffle, no driver scan of the corpus."""
+    K = 50
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(1 << 32)).astype(np.int64)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        out = []
+        for lg in np.unique(langs):
+            m = np.flatnonzero(langs == lg)
+            keep = m[np.lexsort((ids[m], h[m]))[:K]]
+            out.append(pa.table({
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "lang": pa.array(langs[keep]),
+                "h": pa.array(h[keep], type=pa.int64())}))
+        return pa.concat_tables(out) if out else pa.table(
+            {"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string()),
+             "h": pa.array([], pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        topk, batch_format="pyarrow")
+    return _collect(ds.groupby("lang").map_groups(topk,
+                                                  batch_format="pyarrow"))
+
+
+def q_long_docs(sf_dir: str):
+    """Outlier filter: documents longer than 1.5x their language's
+    mean length — integer-exact (``2 * n_chars * count > 3 * sum``,
+    no float mean), two streaming passes: tiny per-lang (sum, count)
+    aggregate, broadcast once, then a vectorized filter pass."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"lang": batch.column("lang"),
+                      "n_chars": batch.column("n_chars")}) \
+            .group_by("lang").aggregate([("n_chars", "sum"),
+                                         ("n_chars", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "s": g.column("n_chars_sum"),
+                         "c": pc.cast(g.column("n_chars_count"), pa.int64())})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    g = parts.group_by("lang").aggregate([("s", "sum"), ("c", "sum")])
+    stats = {lg: (s, c) for lg, s, c in zip(
+        g.column("lang").to_pylist(), g.column("s_sum").to_pylist(),
+        g.column("c_sum").to_pylist())}
+    bref = ray.put(stats)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        st = ray.get(bref)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        ulg, inv = np.unique(langs, return_inverse=True)
+        s = np.array([st[lg][0] for lg in ulg], dtype=np.int64)[inv]
+        c = np.array([st[lg][1] for lg in ulg], dtype=np.int64)[inv]
+        return batch.filter(pa.array(2 * nc * c > 3 * s))
+
+    return _collect(ds.map_batches(filt, batch_format="pyarrow"))
+
+
+def q_range_join_counts(sf_dir: str):
+    """Range (interval) join: for every 'purchase' event, count the
+    events of the SAME user in the 6 hours strictly after it.  Same
+    custom-join family as q_asof_join: the anchor side ('purchase'
+    rows, selected with a row filter AT THE READ) is broadcast once
+    as sorted flat arrays; each streamed event batch locates its
+    anchors' [lo, hi) index windows with TWO vectorized searchsorteds
+    over a dense-rank composite key, and a diff-array + cumsum turns
+    the windows into per-anchor counts with ZERO pair
+    materialization.  Partial counts reduce via a tiny
+    groupby(event_id).  Partitioning assumption (documented, as
+    asof_join): the filtered anchor side fits the object store;
+    co-partition both sides by user when it does not."""
+    import pyarrow.dataset as pads
+
+    anchors = _collect(ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == "purchase"))
+    au = anchors.column("user_id").to_numpy(zero_copy_only=False)
+    at = anchors.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+    ae = anchors.column("event_id").to_numpy(zero_copy_only=False)
+    idx = np.lexsort((ae, at, au))
+    au, at, ae = au[idx], at[idx], ae[idx]
+    uau = np.unique(au)
+    uat = np.unique(at)
+    Kr = np.int64(len(uat) + 2)
+    comp = np.searchsorted(uau, au).astype(np.int64) * Kr \
+        + np.searchsorted(uat, at).astype(np.int64)
+    bref = ray.put((ae, uau, uat, comp))
+    WIN = np.int64(6 * 3600 * 1_000_000)  # 6h in us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aes, uaus, uats, comps = ray.get(bref)
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if len(uaus) == 0 or batch.num_rows == 0:
+            return empty
+        Krl = np.int64(len(uats) + 2)
+        uids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+        r = np.searchsorted(uaus, uids).clip(0, len(uaus) - 1)
+        present = uaus[r] == uids
+        # anchor qualifies iff a.ts in [e.ts - 6h, e.ts)
+        dr_lo = np.searchsorted(uats, ts - WIN, side="left")
+        dr_hi = np.searchsorted(uats, ts, side="left")
+        lo = np.searchsorted(comps, r * Krl + dr_lo, side="left")
+        hi = np.searchsorted(comps, r * Krl + dr_hi, side="left")
+        lo, hi = lo[present], hi[present]
+        delta = np.zeros(len(aes) + 1, dtype=np.int64)
+        np.add.at(delta, lo, 1)
+        np.add.at(delta, hi, -1)
+        counts = np.cumsum(delta[:-1])
+        nz = np.flatnonzero(counts)
+        if len(nz) == 0:
+            return empty
+        return pa.table({
+            "event_id": pa.array(aes[nz], type=pa.int64()),
+            "n": pa.array(counts[nz], type=pa.int64())})
+
+    parts = _collect(_read(sf_dir, "events", ["user_id", "ts"])
+                     .map_batches(partial, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "n_follow": pa.array([], pa.int64())})
+    g = parts.group_by("event_id").aggregate([("n", "sum")])
+    return pa.table({"event_id": g.column("event_id"),
+                     "n_follow": g.column("n_sum")})
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table (corpus
+    domain-bucketing); deterministic hash-seeded init, 5 iterations,
+    streaming partial-sum reduction — see imgray/ops/cluster.py."""
+    from imgray.ops.cluster import kmeans_fit_predict
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _collect(kmeans_fit_predict(ds, k=8, iters=5))
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -823,6 +984,10 @@ QUERIES = {
     "rare_terms": q_rare_terms,
     "customers_no_orders": q_customers_no_orders,
     "price_quantiles": q_price_quantiles,
+    "rolling_daily": q_rolling_daily,
+    "stratified_sample": q_stratified_sample,
+    "long_docs": q_long_docs,
+    "range_join_counts": q_range_join_counts,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -837,6 +1002,7 @@ QUERIES = {
     "image_features": q_image_features,
     "phash_exact_dedup": q_phash_exact_dedup,
     "phash_neardup": q_phash_neardup,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 ORACLE_SQL = {
@@ -923,6 +1089,37 @@ ORACLE_SQL = {
         SELECT event_id, user_id FROM events
         WHERE (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296
               < 268435456""",
+    "rolling_daily": """
+        SELECT day, n,
+               CAST(sum(n) OVER (ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS roll7
+        FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     count(*) AS n FROM events GROUP BY 1) t""",
+    "stratified_sample": """
+        SELECT doc_id, lang,
+               CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                    AS BIGINT) AS h
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+                     doc_id) <= 50""",
+    "long_docs": """
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        JOIN (SELECT lang, sum(n_chars) AS s, count(*) AS c
+              FROM documents GROUP BY lang) g USING (lang)
+        WHERE 2 * d.n_chars * g.c > 3 * g.s""",
+    "range_join_counts": """
+        SELECT a.event_id, count(*) AS n_follow
+        FROM events a
+        JOIN events e
+          ON e.user_id = a.user_id
+         AND e.ts > a.ts
+         AND e.ts <= a.ts + INTERVAL 6 HOUR
+        WHERE a.event_type = 'purchase'
+        GROUP BY a.event_id""",
     "asof_join": """
         SELECT e.event_id, o.o_orderkey
         FROM events e
