@@ -1,8 +1,8 @@
-"""Relational building blocks Ray Data lacks natively: a shuffle
-anti-join and exact distributed quantiles over integer columns.
+"""Relational building blocks Ray Data lacks natively: shuffle
+semi/anti-joins and exact distributed quantiles over integer columns.
 
 Scale notes (100 TB):
-- the anti-join never broadcasts the big side: both inputs are reduced
+- the semi/anti-joins never broadcast the big side: both inputs are reduced
   to (key[, payload]) rows, tagged, and combined in ONE coarse
   hash-partitioned groupby — the right side contributes only its
   per-block-distinct keys to the shuffle;
@@ -37,6 +37,21 @@ def anti_join(left_ds, right_ds, key: str, payload_cols: list[str],
     run that saw a right-side row.  Returns
     Dataset[{key, *payload_cols}].
     """
+    return _semi_anti(left_ds, right_ds, key, payload_cols,
+                      num_partitions, keep_matched=False)
+
+
+def semi_join(left_ds, right_ds, key: str, payload_cols: list[str],
+              num_partitions: int = 64):
+    """Rows of ``left_ds`` whose ``key`` appears at least once in
+    ``right_ds`` (EXISTS / semi-join) — same one-shuffle topology as
+    :func:`anti_join`, opposite keep mask."""
+    return _semi_anti(left_ds, right_ds, key, payload_cols,
+                      num_partitions, keep_matched=True)
+
+
+def _semi_anti(left_ds, right_ds, key: str, payload_cols: list[str],
+               num_partitions: int, keep_matched: bool):
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {key: batch.column(key)}
@@ -67,7 +82,9 @@ def anti_join(left_ds, right_ds, key: str, payload_cols: list[str],
         # keys with any right-side row
         right_keys = pc.unique(pc.filter(
             kc, pc.equal(part.column("_r"), 1)))
-        keep = pc.invert(pc.is_in(kc, value_set=right_keys))
+        keep = pc.is_in(kc, value_set=right_keys)
+        if not keep_matched:
+            keep = pc.invert(keep)
         keep = pc.and_(keep, pc.equal(part.column("_r"), 0))
         out = part.filter(keep)
         return out.drop_columns(["_r"])

@@ -792,6 +792,24 @@ def q_hash_sample(sf_dir: str):
     return _collect(ds.map_batches(f, batch_format="pyarrow"))
 
 
+def q_parts_with_bulk_orders(sf_dir: str):
+    """Shuffle semi-join (EXISTS): parts that shipped in at least one
+    bulk lineitem (quantity >= 48) — the complement of the anti-join
+    topology: right side ships only per-block-distinct keys, one
+    coarse hash-partitioned combine, no broadcast of either side."""
+    from ..ops.relational import semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def bulk_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("l_quantity"), 48))
+        return pa.table({"p_partkey": t.column("l_partkey")})
+
+    li = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+          .map_batches(bulk_keys, batch_format="pyarrow"))
+    return _collect(semi_join(part, li, "p_partkey", ["p_name"]))
+
+
 def q_rolling_daily(sf_dir: str):
     """7-day rolling event count (windowed aggregate): the per-day
     count is the distributed part (per-block partial + tiny combine,
@@ -984,6 +1002,7 @@ QUERIES = {
     "rare_terms": q_rare_terms,
     "customers_no_orders": q_customers_no_orders,
     "price_quantiles": q_price_quantiles,
+    "parts_with_bulk_orders": q_parts_with_bulk_orders,
     "rolling_daily": q_rolling_daily,
     "stratified_sample": q_stratified_sample,
     "long_docs": q_long_docs,
@@ -1089,6 +1108,11 @@ ORACLE_SQL = {
         SELECT event_id, user_id FROM events
         WHERE (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296
               < 268435456""",
+    "parts_with_bulk_orders": """
+        SELECT p_partkey, p_name FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_quantity >= 48)""",
     "rolling_daily": """
         SELECT day, n,
                CAST(sum(n) OVER (ORDER BY day

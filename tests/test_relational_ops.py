@@ -1,10 +1,10 @@
-"""Unit tests for the shuffle anti-join and the exact distributed
-quantile (histogram-refinement) operators."""
+"""Unit tests for the shuffle semi/anti-joins and the exact
+distributed quantile (histogram-refinement) operators."""
 
 import numpy as np
 import pyarrow as pa
 
-from imgray.ops.relational import anti_join, exact_quantiles_int
+from imgray.ops.relational import anti_join, exact_quantiles_int, semi_join
 
 
 def _ds(tbl: pa.Table):
@@ -35,6 +35,28 @@ def test_anti_join_empty_right(ray_session):
         [pa.table(b) for b in anti_join(left, right, "k", ["name"])
          .iter_batches(batch_format="pyarrow")])
     assert out.to_pylist() == [{"k": 7, "name": "x"}]
+
+
+def test_semi_join_handwritten(ray_session):
+    left = _ds(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "name": ["a", "b", "c", "d", "e"],
+    }))
+    right = _ds(pa.table({"k": pa.array([2, 4, 4, 9], type=pa.int64())}))
+    out = pa.concat_tables(
+        [pa.table(b) for b in semi_join(left, right, "k", ["name"])
+         .iter_batches(batch_format="pyarrow")])
+    rows = sorted(out.to_pylist(), key=lambda r: r["k"])
+    assert [(r["k"], r["name"]) for r in rows] == [(2, "b"), (4, "d")]
+
+
+def test_semi_join_empty_right(ray_session):
+    left = _ds(pa.table({"k": pa.array([7], type=pa.int64()),
+                         "name": ["x"]}))
+    right = _ds(pa.table({"k": pa.array([], type=pa.int64())}))
+    out = [pa.table(b) for b in semi_join(left, right, "k", ["name"])
+           .iter_batches(batch_format="pyarrow")]
+    assert sum(t.num_rows for t in out) == 0
 
 
 def test_exact_quantiles_small_domain_one_pass(ray_session):
