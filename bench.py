@@ -85,7 +85,7 @@ def run_crawl(num_cpus: int) -> dict:
         rate_per_round=1e6, burst=1e6,  # politeness budget >> frontier
         fetch_concurrency=max(2, num_cpus - 2),
         img_concurrency=max(2, num_cpus - 2),
-        fetch_batch=8,
+        fetch_batch=int(os.environ.get("IMGRAY_BENCH_FETCH_BATCH", "8")),
         img_batch=32,
         # default config IS the streaming scale path now (strict name
         # dedup runs in-pipeline via the claim gate — VERDICT r2 #1);

@@ -961,6 +961,74 @@ def q_range_join_counts(sf_dir: str):
                      "n_follow": g.column("n_sum")})
 
 
+def q_pack_bins(sf_dir: str):
+    """Sequence packing (distributed prefix-scan): assign each doc,
+    in doc_id order, to the 2048-token bin its running token total
+    lands in — the training-data batching primitive.  Global scan
+    decomposed the classic way: coarse doc_id buckets (256 ids wide)
+    get their token sums from a tiny streaming partial aggregate; the
+    exclusive bucket prefix is broadcast once; a groupby(bucket)
+    co-locates each bucket for the exact in-bucket cumsum.  No sort,
+    no driver scan."""
+    from ..ops.text import token_count_batch
+
+    BUDGET, BW = 2048, 256
+
+    def tok(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": t.column("n_tokens"),
+            "bucket": pa.array(ids // BW, type=pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tok, batch_format="pyarrow")
+
+    def bpart(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"bucket": batch.column("bucket"),
+                       "n_tok": batch.column("n_tok")})
+             .group_by("bucket").aggregate([("n_tok", "sum")]))
+        return pa.table({"bucket": g.column("bucket"),
+                         "s": g.column("n_tok_sum")})
+
+    parts = _collect(ds.map_batches(bpart, batch_format="pyarrow"))
+    g = (parts.group_by("bucket").aggregate([("s", "sum")])
+         .sort_by("bucket"))
+    bks = g.column("bucket").to_numpy(zero_copy_only=False)
+    sums = g.column("s_sum").to_numpy(zero_copy_only=False)
+    excl = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    bref = ray.put(dict(zip(bks.tolist(), excl.tolist())))
+
+    def scan(group: pa.Table) -> pa.Table:
+        offs = ray.get(bref)
+        group = group.sort_by("doc_id")
+        nt = group.column("n_tok").to_numpy(zero_copy_only=False)
+        start = offs[group.column("bucket")[0].as_py()]
+        cum = start + np.cumsum(nt) - nt
+        return pa.table({
+            "doc_id": group.column("doc_id"),
+            "n_tok": group.column("n_tok"),
+            "bin": pa.array(cum // BUDGET, type=pa.int64())})
+
+    return _collect(ds.groupby("bucket").map_groups(
+        scan, batch_format="pyarrow"))
+
+
+def q_dup_components(sf_dir: str):
+    """Near-dup clustering: connected components (min reachable id)
+    over the exact-substring pair graph — iterative min-label
+    propagation via groupby exchanges, see imgray/ops/graph.py."""
+    from ..ops.graph import connected_components
+
+    pairs = q_substring_pairs(sf_dir)
+    if isinstance(pairs, pa.Table):
+        pairs_ds = ray.data.from_arrow(pairs)
+    else:
+        pairs_ds = pairs
+    return _collect(connected_components(pairs_ds, "a", "b"))
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table (corpus
     domain-bucketing); deterministic hash-seeded init, 5 iterations,
@@ -1007,6 +1075,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "long_docs": q_long_docs,
     "range_join_counts": q_range_join_counts,
+    "pack_bins": q_pack_bins,
+    "dup_components": q_dup_components,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1393,6 +1463,38 @@ ORACLE_SQL = {
         r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
         SELECT t.q_bp, t.k, r.c AS value
         FROM t JOIN r ON r.rn = t.k""",
+    "pack_bins": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS n_tok
+            FROM documents)
+        SELECT doc_id, n_tok,
+               CAST((sum(n_tok) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tok) // 2048
+                    AS BIGINT) AS bin
+        FROM t""",
+    "dup_components": r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(t, i, i + 31), ' ') AS gram
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t) - 31, 0))) AS i)),
+        e AS (
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+        sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach(n, m) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m)
+        SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS component
+        FROM reach GROUP BY n""",
     "substring_pairs": r"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
