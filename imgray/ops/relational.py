@@ -1,11 +1,17 @@
 """Relational building blocks Ray Data lacks natively: shuffle
-semi/anti-joins and exact distributed quantiles over integer columns.
+semi/anti-joins, a large×large shuffle hash join, and exact
+distributed quantiles over integer columns.
 
 Scale notes (100 TB):
 - the semi/anti-joins never broadcast the big side: both inputs are reduced
   to (key[, payload]) rows, tagged, and combined in ONE coarse
   hash-partitioned groupby — the right side contributes only its
   per-block-distinct keys to the shuffle;
+- the hash join shuffles both sides exactly once (tagged union on a
+  coarse hash partition of the key) and matches inside each partition
+  with Arrow's native C++ hash join — no broadcast, no Python-row
+  matching, and the output stays hash-partitioned by the join key so
+  a downstream per-key aggregate needs NO further exchange;
 - exact quantiles use iterative histogram refinement (the classic
   distributed k-th-element algorithm): each pass is one streaming
   ``map_batches`` producing a fixed 64 Ki-bucket count partial per
@@ -15,6 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import numpy as np
@@ -90,6 +97,90 @@ def _semi_anti(left_ds, right_ds, key: str, payload_cols: list[str],
         return out.drop_columns(["_r"])
 
     return coarse_partition_groups(tagged, key, combine, num_partitions)
+
+
+# ---------------------------------------------------- shuffle hash join
+
+def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
+                           num_partitions: int) -> pa.Array:
+    """Deterministic partition ids for a key column.  Integer keys use
+    a vectorized Knuth multiplicative hash (no Python per row); other
+    types fall back to blake2b of the string form (matches
+    coarse_partition_groups so co-partitioned stages compose)."""
+    if pa.types.is_integer(keys.type):
+        v = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
+        h = (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+    vals = keys.to_pylist()
+    parts = [int.from_bytes(
+        hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
+        "big") % num_partitions for k in vals]
+    return pa.array(parts, type=pa.int32())
+
+
+def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
+              right_cols: list[str], num_partitions: int = 64):
+    """Inner equi-join of two LARGE datasets — neither side broadcast.
+
+    Topology: both inputs are projected to (key, payload, side-tag)
+    rows, unioned, and exchanged ONCE on a coarse hash partition of
+    the key; inside each partition the two sides are split by tag and
+    matched with Arrow's native hash join (``pa.Table.join``), so
+    duplicate keys on either side produce the full SQL cross product
+    and the matching itself is vectorized C++.  The result Dataset is
+    hash-partitioned by ``key`` — a downstream per-key (or
+    per-key-plus-functionally-dependent-column) aggregate is exact
+    per block with no further shuffle.
+
+    ``left_cols`` / ``right_cols`` must be disjoint payload column
+    name sets (the join key is carried once).
+    """
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"payload columns appear on both sides: {overlap}")
+
+    left_types = {c: left_ds.schema().base_schema.field(c).type
+                  for c in left_cols}
+    right_types = {c: right_ds.schema().base_schema.field(c).type
+                   for c in right_cols}
+
+    def tag(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        cols = {key: batch.column(key)}
+        for c in left_cols:
+            cols[c] = (batch.column(c) if side == 0
+                       else pa.nulls(n, type=left_types[c]))
+        for c in right_cols:
+            cols[c] = (batch.column(c) if side == 1
+                       else pa.nulls(n, type=right_types[c]))
+        cols["_r"] = pa.array(np.full(n, side, dtype=np.int8))
+        cols["_part"] = _hash_partition_column(batch.column(key),
+                                               num_partitions)
+        return pa.table(cols)
+
+    tagged = (left_ds.map_batches(lambda b: tag(b, 0),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(lambda b: tag(b, 1),
+                                          batch_format="pyarrow")))
+
+    out_cols = [key] + left_cols + right_cols
+
+    def join_partition(part: pa.Table) -> pa.Table:
+        side = part.column("_r")
+        lt = (part.filter(pc.equal(side, 0))
+              .select([key] + left_cols))
+        rt = (part.filter(pc.equal(side, 1))
+              .select([key] + right_cols))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], type=(left_types.get(c) or
+                                       right_types.get(c) or
+                                       lt.schema.field(key).type))
+                 for c in out_cols})
+        return lt.join(rt, keys=key, join_type="inner").select(out_cols)
+
+    return (tagged.groupby("_part")
+            .map_groups(join_partition, batch_format="pyarrow"))
 
 
 # ------------------------------------------------- exact quantiles (int)

@@ -580,6 +580,84 @@ def q_price_quantiles(sf_dir: str):
                                [0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_q3_shipping(sf_dir: str):
+    """TPC-H Q3-style top-revenue-orders query exercising the
+    large×large shuffle hash join (ops.relational.hash_join):
+    orders ⋈ lineitem on the order key — NEITHER side broadcast, one
+    exchange, Arrow-native matching per partition.  The small
+    customer-segment side IS broadcast (a sorted key array via
+    ray.put, np.isin per batch) — the idiomatic split.  Because the
+    join output stays hash-partitioned by order key, the per-order
+    revenue aggregate is exact per block with no second shuffle, and
+    the top-10 is a decomposable per-block partial merged on the
+    driver."""
+    import datetime as _dt
+
+    from ..ops.relational import hash_join
+
+    cutoff = _dt.datetime(1998, 6, 1)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = _collect(cust.map_batches(
+        lambda b: pa.table({"k": b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING"))
+            .column("c_custkey")}),
+        batch_format="pyarrow")).column("k").to_numpy(zero_copy_only=False)
+    ckeys_ref = ray.put(np.sort(ckeys))
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("o_orderdate"), pa.scalar(cutoff)))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(ck, ray.get(ckeys_ref))))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_day": pc.strftime(t.column("o_orderdate"),
+                                 format="%Y-%m-%d"),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    def line_side(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("l_shipdate"),
+                                pa.scalar(cutoff)))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "rev_cents": _cents(rev)})
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    joined = hash_join(orders, line, "o_orderkey",
+                       ["o_day"], ["rev_cents"])
+
+    def block_top10(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["o_orderkey", "o_day"])
+             .aggregate([("rev_cents", "sum")]))
+        rev = g.column("rev_cents_sum").to_numpy(zero_copy_only=False)
+        okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((okey, -rev))[:10]
+        t = g.take(pa.array(idx))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "revenue_cents": t.column("rev_cents_sum"),
+                         "o_day": t.column("o_day")})
+
+    # batch_size=None: one batch per block, and each block is one join
+    # partition, so every (o_orderkey, o_day) group is complete within
+    # its batch and the per-batch top-10 partial is exact.
+    partials = _collect(joined.map_batches(block_top10,
+                                           batch_format="pyarrow",
+                                           batch_size=None))
+    rev = partials.column("revenue_cents").to_numpy(zero_copy_only=False)
+    okey = partials.column("o_orderkey").to_numpy(zero_copy_only=False)
+    return partials.take(pa.array(np.lexsort((okey, -rev))[:10]))
+
+
 _FLAGSHIP_CACHE: dict[int, object] = {}
 
 
@@ -1077,6 +1155,7 @@ QUERIES = {
     "range_join_counts": q_range_join_counts,
     "pack_bins": q_pack_bins,
     "dup_components": q_dup_components,
+    "q3_shipping": q_q3_shipping,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1495,6 +1574,18 @@ ORACLE_SQL = {
             SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m)
         SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS component
         FROM reach GROUP BY n""",
+    "q3_shipping": """
+        SELECT l_orderkey AS o_orderkey,
+               CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_day
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1998-06-01'
+              AND l_shipdate > DATE '1998-06-01'
+        GROUP BY l_orderkey, o_day
+        ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
     "substring_pairs": r"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -83,3 +83,64 @@ def test_exact_quantiles_wide_domain_forces_refinement(ray_session):
     for r in t.to_pylist():
         k = r["k"]
         assert r["value"] == srt[k - 1], r
+
+
+# ----------------------------------------------------- shuffle hash join
+
+def _hj(left, right, key, lcols, rcols, **kw):
+    from imgray.ops.relational import hash_join
+
+    tbls = [pa.table(b) for b in
+            hash_join(_ds(left), _ds(right), key, lcols, rcols, **kw)
+            .iter_batches(batch_format="pyarrow")]
+    if not tbls:
+        return []
+    out = pa.concat_tables(tbls, promote_options="default")
+    return sorted(out.to_pylist(),
+                  key=lambda r: tuple(str(r[c]) for c in out.column_names))
+
+
+def test_hash_join_duplicates_cross_product(ray_session):
+    left = pa.table({"k": pa.array([1, 1, 2, 3], type=pa.int64()),
+                     "lv": ["a", "b", "c", "d"]})
+    right = pa.table({"k": pa.array([1, 1, 3, 9], type=pa.int64()),
+                      "rv": pa.array([10, 20, 30, 40], type=pa.int64())})
+    rows = _hj(left, right, "k", ["lv"], ["rv"])
+    # k=1: 2 left x 2 right = 4 rows; k=2 unmatched; k=3: 1x1
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [
+        (1, "a", 10), (1, "a", 20), (1, "b", 10), (1, "b", 20),
+        (3, "d", 30)]
+
+
+def test_hash_join_empty_sides(ray_session):
+    left = pa.table({"k": pa.array([5], type=pa.int64()),
+                     "lv": ["x"]})
+    empty = pa.table({"k": pa.array([], type=pa.int64()),
+                      "rv": pa.array([], type=pa.int64())})
+    assert _hj(left, empty, "k", ["lv"], ["rv"]) == []
+    # disjoint keys → empty too
+    right = pa.table({"k": pa.array([6], type=pa.int64()),
+                      "rv": pa.array([1], type=pa.int64())})
+    assert _hj(left, right, "k", ["lv"], ["rv"]) == []
+
+
+def test_hash_join_string_keys(ray_session):
+    left = pa.table({"k": ["x", "y", "y"], "lv": pa.array([1, 2, 3],
+                                                          type=pa.int64())})
+    right = pa.table({"k": ["y", "z"], "rv": pa.array([7, 8],
+                                                      type=pa.int64())})
+    rows = _hj(left, right, "k", ["lv"], ["rv"], num_partitions=4)
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [
+        ("y", 2, 7), ("y", 3, 7)]
+
+
+def test_hash_join_overlapping_payload_rejected(ray_session):
+    from imgray.ops.relational import hash_join
+
+    left = _ds(pa.table({"k": pa.array([1], type=pa.int64()),
+                         "v": pa.array([1], type=pa.int64())}))
+    try:
+        hash_join(left, left, "k", ["v"], ["v"])
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
