@@ -343,12 +343,18 @@ def union_find_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
 # ---------------------------------------------------------------- SimHash
 
 def simhash64(text: str) -> int:
+    """Charikar SimHash over `\\w+` tokens (duplicates counted).
+
+    The per-token hash is the first 8 bytes of md5 (big-endian) so a
+    DuckDB oracle can reproduce the signature bit-for-bit
+    (``('0x' || substr(md5(t), 1, 16))::UBIGINT``); md5's diffusion is
+    equivalent to any other 64-bit hash for this purpose."""
     toks = _WORD.findall((text or "").lower())
     if not toks:
         return 0
     hs = np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                        "big") for t in toks],
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+         for t in toks],
         dtype=np.uint64,
     )
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])

@@ -329,6 +329,13 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs.  ORACLE-CHECKED: with 4×16-bit bands and
+    radius 3 the banding is pigeonhole-complete, so the operator's
+    output is EXACTLY the set of pairs with Hamming(simhash) ≤ 3 — and
+    the md5-based token hash makes the signature reproducible in
+    DuckDB bit-for-bit.  (The oracle's RE2 `\\w` is ASCII-only while
+    Python's is Unicode-aware; the test corpora are pure ASCII, where
+    the two agree.)"""
     from ..ops.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1156,9 +1163,9 @@ QUERIES = {
     "pack_bins": q_pack_bins,
     "dup_components": q_dup_components,
     "q3_shipping": q_q3_shipping,
+    "simhash_pairs": q_simhash_pairs,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "langid": q_langid,
@@ -1586,6 +1593,36 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "simhash_pairs": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\w+')) AS t
+            FROM documents),
+        th AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+            FROM toks),
+        bits AS (
+            SELECT doc_id, j,
+                   CASE WHEN 2*sum(CAST((h >> j) & 1 AS BIGINT)) > count(*)
+                        THEN 1 ELSE 0 END AS bset
+            FROM th, LATERAL (SELECT unnest(range(64)) AS j)
+            GROUP BY doc_id, j),
+        shu AS (
+            SELECT doc_id,
+                   sum(CAST(bset AS HUGEINT)
+                       * (CAST(1 AS HUGEINT) << CAST(j AS INTEGER))) AS u
+            FROM bits GROUP BY doc_id),
+        s AS (
+            SELECT d.doc_id,
+                   CAST(CASE WHEN COALESCE(u, 0) >= CAST(1 AS HUGEINT) << 63
+                             THEN COALESCE(u, 0) - (CAST(1 AS HUGEINT) << 64)
+                             ELSE COALESCE(u, 0) END AS BIGINT) AS sh
+            FROM documents d LEFT JOIN shu ON d.doc_id = shu.doc_id)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS dist
+        FROM s x JOIN s y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sh, y.sh)) <= 3""",
     "substring_pairs": r"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
