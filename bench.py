@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "langid",              # per-doc python-in-batch
     "sessionize",          # windowed op (groupby.map_groups)
     "asof_join",           # broadcast as-of join
+    "q3_shipping",         # large-large shuffle hash join
 ]
 
 CRAWL_SCALE = int(os.environ.get("IMGRAY_BENCH_CRAWL_SCALE", "3"))

@@ -665,6 +665,148 @@ def q_q3_shipping(sf_dir: str):
     return partials.take(pa.array(np.lexsort((okey, -rev))[:10]))
 
 
+def q_daily_active_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per day.  Scale
+    shape: per-block distinct (day, user) pairs first (shrinks the
+    exchange), then ONE coarse hash partition on user_id — every
+    (day, user) pair lands in exactly one partition, so per-partition
+    distinct is globally exact — emitting tiny per-partition day
+    counts that sum on the driver.  The per-day group is never
+    co-located anywhere (a hot day would swamp a groupby(day))."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    nparts = 64
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": pc.strftime(b.column("ts"), format="%Y-%m-%d"),
+            "user_id": b.column("user_id"),
+        }).group_by(["day", "user_id"]).aggregate([])
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(33)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(nparts)).astype(np.int32)))
+
+    def count_per_day(part: pa.Table) -> pa.Table:
+        t = (part.select(["day", "user_id"])
+             .group_by(["day", "user_id"]).aggregate([])
+             .group_by("day").aggregate([("user_id", "count")]))
+        return pa.table({"day": t.column("day"),
+                         "n": pc.cast(t.column("user_id_count"),
+                                      pa.int64())})
+
+    partials = _collect(ds.map_batches(pairs, batch_format="pyarrow")
+                        .groupby("_part")
+                        .map_groups(count_per_day,
+                                    batch_format="pyarrow"))
+    g = partials.group_by("day").aggregate([("n", "sum")])
+    return pa.table({"day": g.column("day"),
+                     "n_users": g.column("n_sum")})
+
+
+def q_event_gaps(sf_dir: str):
+    """LAG window function: per event, seconds since the SAME user's
+    previous event (events without a predecessor are dropped) —
+    groupby(user).map_groups with an in-group sort + vectorized
+    diff, same family as sessionize."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def gaps(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        if len(ts) < 2:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "gap_s": pa.array([], pa.int64())})
+        # exact integer µs diff then floor-div — timestamps carry
+        # sub-second precision, so float seconds would round unstably
+        d = (ts[1:] - ts[:-1]).astype("timedelta64[us]") \
+            .astype(np.int64) // 1_000_000
+        return pa.table({
+            "user_id": g.column("user_id").slice(1),
+            "event_id": g.column("event_id").slice(1),
+            "gap_s": pa.array(d, type=pa.int64()),
+        })
+
+    return _collect(ds.groupby("user_id").map_groups(
+        gaps, batch_format="pyarrow"))
+
+
+def q_priority_status_pivot(sf_dir: str):
+    """Pivot (conditional aggregation): order counts by priority with
+    one column per order status — per-block 2-D count partials, tiny
+    driver combine + pivot; nothing wide ever shuffles."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (b.group_by(["o_orderpriority", "o_orderstatus"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"p": t.column("o_orderpriority"),
+                         "s": t.column("o_orderstatus"),
+                         "n": pc.cast(t.column("count_all"), pa.int64())})
+
+    t = (_collect(ds.map_batches(partial, batch_format="pyarrow"))
+         .group_by(["p", "s"]).aggregate([("n", "sum")]))
+    prios = sorted(set(t.column("p").to_pylist()))
+    counts = {(p, s): n for p, s, n in zip(t.column("p").to_pylist(),
+                                           t.column("s").to_pylist(),
+                                           t.column("n_sum").to_pylist())}
+    return pa.table({
+        "o_orderpriority": pa.array(prios),
+        "n_f": pa.array([counts.get((p, "F"), 0) for p in prios],
+                        type=pa.int64()),
+        "n_o": pa.array([counts.get((p, "O"), 0) for p in prios],
+                        type=pa.int64()),
+        "n_p": pa.array([counts.get((p, "P"), 0) for p in prios],
+                        type=pa.int64()),
+    })
+
+
+def q_nation_rollup(sf_dir: str):
+    """ROLLUP grouping sets: order counts + cents per nation AND the
+    grand total (n_name='ALL') — the coarser grouping set is derived
+    from the finest partials, so the rollup costs nothing beyond the
+    base aggregate (one broadcast join + per-block partials)."""
+    nation = _collect(_read(sf_dir, "nation",
+                            ["n_nationkey", "n_name"]))
+    cust = _collect(_read(sf_dir, "customer",
+                          ["c_custkey", "c_nationkey"]))
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    cmap_ref = ray.put((
+        cust.column("c_custkey").to_numpy(zero_copy_only=False),
+        cust.column("c_nationkey").to_numpy(zero_copy_only=False)))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck, nk = ray.get(cmap_ref)
+        order = np.argsort(ck)
+        pos = np.searchsorted(ck[order], b.column("o_custkey")
+                              .to_numpy(zero_copy_only=False))
+        nkey = nk[order][pos]
+        t = pa.table({
+            "nk": pa.array(nkey, type=pa.int32()),
+            "cents": _cents(b.column("o_totalprice")),
+        }).group_by("nk").aggregate([("cents", "sum"),
+                                     ([], "count_all")])
+        return pa.table({"nk": t.column("nk"),
+                         "cents": t.column("cents_sum"),
+                         "n": pc.cast(t.column("count_all"), pa.int64())})
+
+    t = (_collect(ds.map_batches(partial, batch_format="pyarrow"))
+         .group_by("nk").aggregate([("cents", "sum"), ("n", "sum")]))
+    names = [nmap[k] for k in t.column("nk").to_pylist()]
+    cents = t.column("cents_sum").to_pylist()
+    ns = t.column("n_sum").to_pylist()
+    names.append("ALL")
+    cents.append(sum(cents))
+    ns.append(sum(ns))
+    return pa.table({"n_name": pa.array(names),
+                     "n_orders": pa.array(ns, type=pa.int64()),
+                     "total_cents": pa.array(cents, type=pa.int64())})
+
+
 _FLAGSHIP_CACHE: dict[int, object] = {}
 
 
@@ -1164,6 +1306,10 @@ QUERIES = {
     "dup_components": q_dup_components,
     "q3_shipping": q_q3_shipping,
     "simhash_pairs": q_simhash_pairs,
+    "daily_active_users": q_daily_active_users,
+    "event_gaps": q_event_gaps,
+    "priority_status_pivot": q_priority_status_pivot,
+    "nation_rollup": q_nation_rollup,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -1593,6 +1739,36 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "daily_active_users": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1""",
+    "event_gaps": """
+        SELECT user_id, event_id, gap_s FROM (
+            SELECT user_id, event_id,
+                   CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER
+                         (PARTITION BY user_id
+                          ORDER BY ts, event_id)) // 1000000
+                        AS BIGINT) AS gap_s
+            FROM events) t
+        WHERE gap_s IS NOT NULL""",
+    "priority_status_pivot": """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_f,
+               CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_o,
+               CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority""",
+    "nation_rollup": """
+        SELECT COALESCE(n_name, 'ALL') AS n_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name)""",
     "simhash_pairs": r"""
         WITH toks AS (
             SELECT doc_id,
