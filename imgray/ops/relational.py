@@ -119,8 +119,11 @@ def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
 
 
 def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
-              right_cols: list[str], num_partitions: int = 64):
-    """Inner equi-join of two LARGE datasets — neither side broadcast.
+              right_cols: list[str], num_partitions: int = 64,
+              how: str = "inner"):
+    """Equi-join of two LARGE datasets — neither side broadcast.
+    ``how`` is ``"inner"`` or ``"left"`` (left outer: unmatched left
+    rows survive with null right-side columns).
 
     Topology: both inputs are projected to (key, payload, side-tag)
     rows, unioned, and exchanged ONCE on a coarse hash partition of
@@ -135,6 +138,8 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
     ``left_cols`` / ``right_cols`` must be disjoint payload column
     name sets (the join key is carried once).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how!r}")
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"payload columns appear on both sides: {overlap}")
@@ -171,13 +176,19 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
               .select([key] + left_cols))
         rt = (part.filter(pc.equal(side, 1))
               .select([key] + right_cols))
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
             return pa.table(
                 {c: pa.array([], type=(left_types.get(c) or
                                        right_types.get(c) or
                                        lt.schema.field(key).type))
                  for c in out_cols})
-        return lt.join(rt, keys=key, join_type="inner").select(out_cols)
+        if rt.num_rows == 0:  # left outer, nothing to match
+            for c in right_cols:
+                lt = lt.append_column(
+                    c, pa.nulls(lt.num_rows, type=right_types[c]))
+            return lt.select(out_cols)
+        jt = "inner" if how == "inner" else "left outer"
+        return lt.join(rt, keys=key, join_type=jt).select(out_cols)
 
     return (tagged.groupby("_part")
             .map_groups(join_partition, batch_format="pyarrow"))

@@ -665,6 +665,45 @@ def q_q3_shipping(sf_dir: str):
     return partials.take(pa.array(np.lexsort((okey, -rev))[:10]))
 
 
+def q_order_bulk_counts(sf_dir: str):
+    """LEFT OUTER shuffle hash join: per order, how many of its line
+    items are bulk (quantity > 45) — orders with none survive with
+    count 0 (10k of 15k at sf0.01, so the null branch is the common
+    path).  Same one-exchange topology as q3_shipping; the count per
+    order is exact per block because the join output stays
+    hash-partitioned by order key."""
+    from ..ops.relational import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def bulk(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("l_quantity"), 45.0))
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(bulk, batch_format="pyarrow")
+
+    joined = hash_join(orders, line, "o_orderkey", [], ["one"],
+                       how="left")
+
+    def count_block(part: pa.Table) -> pa.Table:
+        t = (part.group_by("o_orderkey")
+             .aggregate([("one", "sum")]))
+        n = t.column("one_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "n_bulk": pa.array(np.nan_to_num(n.astype(np.float64),
+                                             nan=0.0).astype(np.int64)),
+        })
+
+    return _collect(joined.map_batches(count_block,
+                                       batch_format="pyarrow",
+                                       batch_size=None))
+
+
 def q_daily_active_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): distinct users per day.  Scale
     shape: per-block distinct (day, user) pairs first (shrinks the
@@ -1306,6 +1345,7 @@ QUERIES = {
     "dup_components": q_dup_components,
     "q3_shipping": q_q3_shipping,
     "simhash_pairs": q_simhash_pairs,
+    "order_bulk_counts": q_order_bulk_counts,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
     "priority_status_pivot": q_priority_status_pivot,
@@ -1739,6 +1779,12 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "order_bulk_counts": """
+        SELECT o_orderkey,
+               CAST(count(l_orderkey) AS BIGINT) AS n_bulk
+        FROM orders LEFT JOIN lineitem
+             ON l_orderkey = o_orderkey AND l_quantity > 45
+        GROUP BY o_orderkey""",
     "daily_active_users": """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -144,3 +144,35 @@ def test_hash_join_overlapping_payload_rejected(ray_session):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_hash_join_left_outer(ray_session):
+    left = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                     "lv": ["a", "b", "c"]})
+    right = pa.table({"k": pa.array([2, 2], type=pa.int64()),
+                      "rv": pa.array([10, 20], type=pa.int64())})
+    rows = _hj(left, right, "k", ["lv"], ["rv"], how="left")
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [
+        (1, "a", None), (2, "b", 10), (2, "b", 20), (3, "c", None)]
+
+
+def test_hash_join_left_outer_empty_right(ray_session):
+    left = pa.table({"k": pa.array([5, 6], type=pa.int64()),
+                     "lv": ["x", "y"]})
+    empty = pa.table({"k": pa.array([], type=pa.int64()),
+                      "rv": pa.array([], type=pa.int64())})
+    rows = _hj(left, empty, "k", ["lv"], ["rv"], how="left")
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [
+        (5, "x", None), (6, "y", None)]
+
+
+def test_hash_join_bad_how_rejected(ray_session):
+    from imgray.ops.relational import hash_join
+
+    left = _ds(pa.table({"k": pa.array([1], type=pa.int64()),
+                         "v": pa.array([1], type=pa.int64())}))
+    try:
+        hash_join(left, left, "k", ["v"], [], how="full")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
