@@ -704,6 +704,19 @@ def q_order_bulk_counts(sf_dir: str):
                                        batch_size=None))
 
 
+def q_approx_distinct_orders(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT o_orderkey) —
+    ORACLE-CHECKED even though approximate: the md5 register hash,
+    exact-integer harmonic sum and shared IEEE float tail make the
+    DuckDB oracle reproduce the ESTIMATE bit-for-bit (ops/sketch.py).
+    One streaming pass, one 4096-byte partial per block."""
+    from ..ops.sketch import hll_count
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    return pa.table({"n_approx": pa.array([hll_count(ds, "o_orderkey")],
+                                          type=pa.int64())})
+
+
 def q_daily_active_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): distinct users per day.  Scale
     shape: per-block distinct (day, user) pairs first (shrinks the
@@ -1346,6 +1359,7 @@ QUERIES = {
     "q3_shipping": q_q3_shipping,
     "simhash_pairs": q_simhash_pairs,
     "order_bulk_counts": q_order_bulk_counts,
+    "approx_distinct_orders": q_approx_distinct_orders,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
     "priority_status_pivot": q_priority_status_pivot,
@@ -1779,6 +1793,36 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "approx_distinct_orders": """
+        WITH v AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS s
+                   FROM orders),
+        h AS (SELECT CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT)
+                     AS h FROM v),
+        r AS (SELECT CAST(h >> 52 AS INTEGER) AS reg,
+                     CASE WHEN (h & ((CAST(1 AS UBIGINT) << 52) - 1)) = 0
+                          THEN 53
+                          ELSE 52 - length(ltrim(bin(
+                               h & ((CAST(1 AS UBIGINT) << 52) - 1)),
+                               '0')) + 1
+                     END AS rho
+              FROM h),
+        g AS (SELECT reg, max(rho) AS mr FROM r GROUP BY reg),
+        agg AS (SELECT sum(CAST(1 AS HUGEINT) << (53 - mr)) AS sp,
+                       count(*) AS nr FROM g),
+        est AS (SELECT
+            (SELECT sp FROM agg)
+              + (4096 - (SELECT nr FROM agg))
+                * (CAST(1 AS HUGEINT) << 53) AS S,
+            4096 - (SELECT nr FROM agg) AS V)
+        SELECT CAST(floor(CASE
+            WHEN (0.7213/(1+1.079/4096)) * 4096 * 4096
+                 * 9007199254740992.0 / CAST(S AS DOUBLE) <= 2.5*4096
+                 AND V > 0
+            THEN 4096 * ln(4096.0 / V)
+            ELSE (0.7213/(1+1.079/4096)) * 4096 * 4096
+                 * 9007199254740992.0 / CAST(S AS DOUBLE)
+            END + 0.5) AS BIGINT) AS n_approx
+        FROM est""",
     "order_bulk_counts": """
         SELECT o_orderkey,
                CAST(count(l_orderkey) AS BIGINT) AS n_bulk
