@@ -107,29 +107,46 @@ _FNV_PRIME = 0x100000001B3
 _MASK = (1 << 64) - 1
 
 
-def rolling_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
-    """Winnowing-style document fingerprint: FNV-1a over k-grams, min
-    hash per window, XOR-fold of selected mins → signed int64."""
+def _gram_hash_fnv(s: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in s:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK
+    return h
+
+
+def _gram_hash_md5(s: bytes) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s).digest()[:8], "big")
+
+
+def rolling_fingerprint(text: str, k: int = 8, window: int = 16,
+                        gram_hash: str = "fnv") -> int:
+    """Winnowing-style document fingerprint: hash every byte k-gram,
+    take the min per NON-overlapping window, XOR-fold the selected
+    mins → signed int64.
+
+    ``gram_hash="fnv"`` (default) is the fast library path;
+    ``gram_hash="md5"`` (first 8 bytes of md5) makes the whole
+    structure reproducible in a DuckDB oracle — window minima, the
+    bit_xor fold and the short-text fallback included — so the
+    winnowing logic itself is conformance-checked."""
+    gh = _gram_hash_fnv if gram_hash == "fnv" else _gram_hash_md5
     s = (text or "").lower().encode("utf-8")
     if len(s) < k:
-        h = _FNV_OFFSET
-        for b in s:
-            h = ((h ^ b) * _FNV_PRIME) & _MASK
-        return int(np.uint64(h).view(np.int64))
-    hs = np.empty(len(s) - k + 1, dtype=np.uint64)
-    for i in range(len(s) - k + 1):
-        h = _FNV_OFFSET
-        for b in s[i : i + k]:
-            h = ((h ^ b) * _FNV_PRIME) & _MASK
-        hs[i] = h
+        return int(np.uint64(gh(s)).view(np.int64))
+    hs = np.fromiter((gh(s[i:i + k]) for i in range(len(s) - k + 1)),
+                     dtype=np.uint64, count=len(s) - k + 1)
     sel = np.uint64(0)
     for w in range(0, len(hs), window):
         sel ^= hs[w : w + window].min()
     return int(sel.view(np.int64))
 
 
-def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    fps = [rolling_fingerprint(t) for t in batch.column(text_col).to_pylist()]
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      gram_hash: str = "fnv") -> pa.Table:
+    fps = [rolling_fingerprint(t, gram_hash=gram_hash)
+           for t in batch.column(text_col).to_pylist()]
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "fingerprint": pa.array(fps, type=pa.int64()),

@@ -462,10 +462,17 @@ def q_quality_bp(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
+    """Winnowing fingerprint per doc — ORACLE-CHECKED with the md5
+    gram-hash mode (window minima + bit_xor fold reproduced in SQL);
+    the library default stays the faster FNV gram hash."""
+    from functools import partial
+
     from ..ops.text import fingerprint_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return _collect(ds.map_batches(fingerprint_batch, batch_format="pyarrow"))
+    return _collect(ds.map_batches(
+        partial(fingerprint_batch, gram_hash="md5"),
+        batch_format="pyarrow"))
 
 
 def q_fingerprint_md5(sf_dir: str):
@@ -1360,6 +1367,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "order_bulk_counts": q_order_bulk_counts,
     "approx_distinct_orders": q_approx_distinct_orders,
+    "fingerprint": q_fingerprint,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
     "priority_status_pivot": q_priority_status_pivot,
@@ -1371,7 +1379,6 @@ QUERIES = {
     "langid": q_langid,
     "quality": q_quality,
     "quality_bp": q_quality_bp,
-    "fingerprint": q_fingerprint,
     "fingerprint_md5": q_fingerprint_md5,
     "crawl_images": q_crawl_images,
     "image_features": q_image_features,
@@ -1793,6 +1800,34 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "fingerprint": r"""
+        WITH p AS (SELECT doc_id, lower(text) AS s FROM documents),
+        grams AS (
+            SELECT doc_id, i,
+                   CAST(('0x' || substr(md5(substr(s, CAST(i AS INTEGER),
+                                                   8)), 1, 16))
+                        AS UBIGINT) AS h,
+                   (i-1)//16 AS w
+            FROM p, LATERAL (SELECT unnest(range(1, length(s)-8+2)) AS i)
+            WHERE length(s) >= 8),
+        wins AS (SELECT doc_id, w, min(h) AS mh
+                 FROM grams GROUP BY doc_id, w),
+        fpl AS (SELECT doc_id, bit_xor(mh) AS sel
+                FROM wins GROUP BY doc_id),
+        allf AS (
+            SELECT p.doc_id,
+                   COALESCE(f.sel,
+                            CAST(('0x' || substr(md5(p.s), 1, 16))
+                                 AS UBIGINT)) AS sel
+            FROM p LEFT JOIN fpl f ON p.doc_id = f.doc_id)
+        SELECT doc_id,
+               CAST(CASE WHEN CAST(sel AS HUGEINT)
+                              >= CAST(1 AS HUGEINT) << 63
+                         THEN CAST(sel AS HUGEINT)
+                              - (CAST(1 AS HUGEINT) << 64)
+                         ELSE CAST(sel AS HUGEINT) END AS BIGINT)
+                   AS fingerprint
+        FROM allf""",
     "approx_distinct_orders": """
         WITH v AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS s
                    FROM orders),
