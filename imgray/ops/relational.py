@@ -199,19 +199,28 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
 _NBUCKETS = 1 << 16
 
 
-def _hist_pass(ds, col: str, spans: list[tuple[int, int]]):
+def _hist_pass(ds, col: str, spans: list[tuple[int, int]],
+               group_col: str | None = None,
+               group_vals: list | None = None):
     """One streaming pass computing a 64 Ki-bucket histogram for EVERY
     open bracket at once: each block emits one concatenated count
-    vector (512 KiB per bracket), summed on the driver.  Returns
-    (per-bracket histograms, per-bracket bucket widths)."""
+    vector (512 KiB per bracket), summed on the driver.  With
+    ``group_col``, bracket ``i`` only counts rows whose group equals
+    ``group_vals[i]`` (grouped quantiles share the same passes).
+    Returns (per-bracket histograms, per-bracket bucket widths)."""
     widths = [max(1, math.ceil((hi - lo + 1) / _NBUCKETS))
               for lo, hi in spans]
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False)
+        g = (batch.column(group_col).to_numpy(zero_copy_only=False)
+             if group_col else None)
         out = np.empty(_NBUCKETS * len(spans), dtype=np.int64)
         for si, ((lo, hi), width) in enumerate(zip(spans, widths)):
-            w = v[(v >= lo) & (v <= hi)]
+            mask = (v >= lo) & (v <= hi)
+            if g is not None:
+                mask &= g == group_vals[si]
+            w = v[mask]
             b = (w - lo) // width
             out[si * _NBUCKETS:(si + 1) * _NBUCKETS] = \
                 np.bincount(b, minlength=_NBUCKETS)
@@ -270,4 +279,79 @@ def exact_quantiles_int(ds, col: str, qs: list[float]) -> pa.Table:
                          type=pa.int64()),
         "k": pa.array([targets[q] for q in qs], type=pa.int64()),
         "value": pa.array([results[q] for q in qs], type=pa.int64()),
+    })
+
+
+def exact_group_quantiles_int(ds, col: str, group_col: str,
+                              qs: list[float]) -> pa.Table:
+    """Exact per-GROUP q-quantiles of an integer column (k-th smallest
+    within the group, k = ceil(q * n_group)) for a LOW-cardinality
+    group column (order priorities, languages, statuses — the
+    constraint is G × 512 KiB of histogram partial per block).
+
+    Same iterative refinement as :func:`exact_quantiles_int`, with all
+    open (group, q) brackets sharing every streaming pass — the pass
+    count stays ≤ 2 for 32-bit domains regardless of G × |qs|."""
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        t = (pa.table({group_col: batch.column(group_col),
+                       col: batch.column(col)})
+             .group_by(group_col)
+             .aggregate([(col, "min"), (col, "max"), (col, "count")]))
+        return pa.table({
+            "g": t.column(group_col),
+            "lo": t.column(f"{col}_min"),
+            "hi": t.column(f"{col}_max"),
+            "n": pc.cast(t.column(f"{col}_count"), pa.int64()),
+        })
+
+    parts = [pa.table(b) for b in
+             ds.map_batches(bounds, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    stats = (pa.concat_tables(parts)
+             .group_by("g")
+             .aggregate([("lo", "min"), ("hi", "max"), ("n", "sum")]))
+    gstats = {gv: (int(lo), int(hi), int(n)) for gv, lo, hi, n in zip(
+        stats.column("g").to_pylist(), stats.column("lo_min").to_pylist(),
+        stats.column("hi_max").to_pylist(),
+        stats.column("n_sum").to_pylist())}
+
+    # per (group, q) bracket: (lo, hi, within-bracket rank)
+    brackets = {}
+    targets = {}
+    for gv, (lo, hi, n) in gstats.items():
+        for q in qs:
+            k = max(1, min(n, math.ceil(q * n)))
+            targets[(gv, q)] = k
+            brackets[(gv, q)] = (lo, hi, k)
+
+    results = {}
+    while brackets:
+        keys = list(brackets)
+        spans = [(brackets[kk][0], brackets[kk][1]) for kk in keys]
+        gvals = [kk[0] for kk in keys]
+        hists, widths = _hist_pass(ds, col, spans,
+                                   group_col=group_col,
+                                   group_vals=gvals)
+        for kk, hist, width in zip(keys, hists, widths):
+            lo, hi, k = brackets[kk]
+            cum = np.cumsum(hist)
+            b = int(np.searchsorted(cum, k))
+            below = int(cum[b - 1]) if b > 0 else 0
+            blo = lo + b * width
+            bhi = min(hi, blo + width - 1)
+            if width == 1:
+                results[kk] = blo
+                del brackets[kk]
+            else:
+                brackets[kk] = (blo, bhi, k - below)
+
+    out_keys = sorted(results, key=lambda kk: (str(kk[0]), kk[1]))
+    return pa.table({
+        group_col: pa.array([kk[0] for kk in out_keys]),
+        "q_bp": pa.array([int(round(kk[1] * 10000)) for kk in out_keys],
+                         type=pa.int64()),
+        "k": pa.array([targets[kk] for kk in out_keys], type=pa.int64()),
+        "value": pa.array([results[kk] for kk in out_keys],
+                          type=pa.int64()),
     })

@@ -711,6 +711,23 @@ def q_order_bulk_counts(sf_dir: str):
                                        batch_size=None))
 
 
+def q_priority_price_quantiles(sf_dir: str):
+    """Grouped exact quantiles: median and p90 order price per order
+    priority — every open (group, q) bracket shares each streaming
+    histogram pass (ops.relational.exact_group_quantiles_int), so the
+    whole answer still costs ≤ 2 passes and no sort."""
+    from ..ops.relational import exact_group_quantiles_int
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": _cents(b.column("o_totalprice")),
+        }), batch_format="pyarrow")
+    return exact_group_quantiles_int(ds, "cents", "o_orderpriority",
+                                     [0.5, 0.9])
+
+
 def q_approx_distinct_orders(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT o_orderkey) —
     ORACLE-CHECKED even though approximate: the md5 register hash,
@@ -1367,6 +1384,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "order_bulk_counts": q_order_bulk_counts,
     "approx_distinct_orders": q_approx_distinct_orders,
+    "priority_price_quantiles": q_priority_price_quantiles,
     "fingerprint": q_fingerprint,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
@@ -1800,6 +1818,20 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "priority_price_quantiles": """
+        WITH v AS (SELECT o_orderpriority AS grp,
+                          CAST(round(o_totalprice*100) AS BIGINT) AS c
+                   FROM orders),
+        n AS (SELECT grp, count(*) AS cnt FROM v GROUP BY grp),
+        t AS (SELECT grp, q_bp,
+                     greatest(1, least(cnt,
+                         CAST(ceil(q_bp / 10000.0 * cnt) AS BIGINT))) AS k
+              FROM n, (VALUES (5000), (9000)) qs(q_bp)),
+        r AS (SELECT grp, c,
+                     row_number() OVER (PARTITION BY grp ORDER BY c) AS rn
+              FROM v)
+        SELECT t.grp AS o_orderpriority, t.q_bp, t.k, r.c AS value
+        FROM t JOIN r ON r.grp = t.grp AND r.rn = t.k""",
     "fingerprint": r"""
         WITH p AS (SELECT doc_id, lower(text) AS s FROM documents),
         grams AS (

@@ -176,3 +176,22 @@ def test_hash_join_bad_how_rejected(ray_session):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_exact_group_quantiles(ray_session):
+    from imgray.ops.relational import exact_group_quantiles_int
+
+    rng = np.random.RandomState(5)
+    g = np.repeat(["a", "b", "c"], [100, 57, 3])
+    v = rng.randint(0, 2**31, size=160).astype(np.int64)
+    ds = _ds(pa.table({"g": g, "v": v}))
+    t = exact_group_quantiles_int(ds, "v", "g", [0.25, 0.5, 1.0])
+    rows = {(r["g"], r["q_bp"]): r for r in t.to_pylist()}
+    import math as m
+    for gv in ("a", "b", "c"):
+        vals = np.sort(v[g == gv])
+        for q, bp in ((0.25, 2500), (0.5, 5000), (1.0, 10000)):
+            k = max(1, min(len(vals), m.ceil(q * len(vals))))
+            r = rows[(gv, bp)]
+            assert r["value"] == vals[k - 1], (gv, q)
+            assert r["k"] == k
