@@ -983,6 +983,41 @@ def q_phash_neardup(sf_dir: str):
 
 
 
+def q_image_dup_clusters(sf_dir: str):
+    """Rows-only: near-dup IMAGE clustering — the banded pHash pair
+    operator (with its planted near-dups) feeds the distributed
+    connected-components operator, mapping every image that appears in
+    a near-dup relation to its cluster representative (the
+    lexicographically smallest member id).  The string→int node
+    mapping is driver-side over the CONFIRMED pair ids only (orders of
+    magnitude smaller than the corpus — the same contract
+    dup_components relies on)."""
+    import ray.data
+
+    from ..ops.graph import connected_components
+
+    pairs = q_phash_neardup(sf_dir)
+    ids = sorted(set(pairs.column("a").to_pylist())
+                 | set(pairs.column("b").to_pylist()))
+    idx = {s: i for i, s in enumerate(ids)}
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([idx[s] for s in pairs.column("a").to_pylist()],
+                      type=pa.int64()),
+        "b": pa.array([idx[s] for s in pairs.column("b").to_pylist()],
+                      type=pa.int64()),
+    }))
+    comp = _collect(connected_components(edges))
+    # dense ranks are order-preserving, so min reachable rank == the
+    # lexicographically smallest reachable image id
+    node = comp.column("doc_id").to_pylist()
+    label = comp.column("component").to_pylist()
+    out = sorted((ids[n], ids[c]) for n, c in zip(node, label))
+    return pa.table({
+        "image_id": pa.array([o[0] for o in out]),
+        "cluster_rep": pa.array([o[1] for o in out]),
+    })
+
+
 # ----------------------------------------------- windowed / as-of joins
 
 def q_sessionize(sf_dir: str):
@@ -1402,6 +1437,7 @@ QUERIES = {
     "image_features": q_image_features,
     "phash_exact_dedup": q_phash_exact_dedup,
     "phash_neardup": q_phash_neardup,
+    "image_dup_clusters": q_image_dup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
 }
 

@@ -77,3 +77,19 @@ def test_entry_and_crawl_queries(ray_session):
     feats = _to_df(entrymod.queries()["image_features"](SF))
     assert len(feats) > 0
     assert {"image_id", "mean_r", "edge_energy"} <= set(feats.columns)
+
+
+def test_image_dup_clusters_planted(ray_session):
+    """Every planted near-dup (neardup/<orig>) must land in the same
+    cluster as its original, and the output must be deterministic."""
+    t = _to_df(entrymod.queries()["image_dup_clusters"](SF))
+    assert len(t) > 0
+    rep = dict(zip(t["image_id"], t["cluster_rep"]))
+    planted = [i for i in rep if i.startswith("neardup/")]
+    assert planted, "planting produced no near-dup pairs"
+    for p in planted:
+        orig = p[len("neardup/"):]
+        assert orig in rep, p
+        assert rep[p] == rep[orig], p
+    t2 = _to_df(entrymod.queries()["image_dup_clusters"](SF))
+    pd.testing.assert_frame_equal(t, t2)
