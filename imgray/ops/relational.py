@@ -99,6 +99,75 @@ def _semi_anti(left_ds, right_ds, key: str, payload_cols: list[str],
     return coarse_partition_groups(tagged, key, combine, num_partitions)
 
 
+# ------------------------------------------------------- bloom filter
+
+_BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_hashes(keys) -> tuple[np.ndarray, np.ndarray]:
+    """Two vectorized 64-bit hash streams per key (Kirsch–Mitzenmacher
+    double hashing).  Integer keys are mixed in numpy; other types
+    fall back to blake2b per value."""
+    if pa.types.is_integer(keys.type):
+        v = pc.cast(keys, pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        h1 = v * _BLOOM_C1
+        h1 ^= h1 >> np.uint64(29)
+        h2 = (v * _BLOOM_C2) | np.uint64(1)
+        return h1, h2
+    vals = keys.to_pylist()
+    h1 = np.empty(len(vals), dtype=np.uint64)
+    h2 = np.empty(len(vals), dtype=np.uint64)
+    for i, s in enumerate(vals):
+        d = hashlib.blake2b(str(s).encode(), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:], "big") | 1
+    return h1, h2
+
+
+def build_bloom(ds, key: str, nbits: int = 1 << 23,
+                nhash: int = 4) -> np.ndarray:
+    """Bloom filter over a key column: each block emits one fixed
+    ``nbits/8``-byte bit-array partial (1 MiB at the default 8M bits),
+    OR-combined on the driver — deterministic regardless of block
+    order, so join results never depend on scheduling."""
+    nwords = nbits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h1, h2 = _bloom_hashes(batch.column(key))
+        words = np.zeros(nwords, dtype=np.uint64)
+        for j in range(nhash):
+            idx = (h1 + np.uint64(j) * h2) % np.uint64(nbits)
+            np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"w": pa.array([words.tobytes()],
+                                       type=pa.binary())})
+
+    total = np.zeros(nwords, dtype=np.uint64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for raw in pa.table(b).column("w").to_pylist():
+            np.bitwise_or(total, np.frombuffer(raw, dtype=np.uint64),
+                          out=total)
+    return total
+
+
+def bloom_contains(words: np.ndarray, keys,
+                   nhash: int = 4) -> np.ndarray:
+    """Vectorized membership mask (true = possibly present; false =
+    definitely absent)."""
+    nbits = np.uint64(len(words) * 64)
+    h1, h2 = _bloom_hashes(keys)
+    mask = np.ones(len(h1), dtype=bool)
+    for j in range(nhash):
+        idx = (h1 + np.uint64(j) * h2) % nbits
+        bit = (words[(idx >> np.uint64(6)).astype(np.int64)]
+               >> (idx & np.uint64(63))) & np.uint64(1)
+        mask &= bit.astype(bool)
+    return mask
+
+
 # ---------------------------------------------------- shuffle hash join
 
 def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
@@ -120,10 +189,20 @@ def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
 
 def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
               right_cols: list[str], num_partitions: int = 64,
-              how: str = "inner"):
+              how: str = "inner", bloom_from: str | None = None):
     """Equi-join of two LARGE datasets — neither side broadcast.
     ``how`` is ``"inner"`` or ``"left"`` (left outer: unmatched left
     rows survive with null right-side columns).
+
+    ``bloom_from="left"`` (or ``"right"``) builds a Bloom filter over
+    that side's keys in an extra streaming pass (one 1 MiB OR-combined
+    partial per block, broadcast once via ray.put) and drops the
+    OTHER side's definitely-unmatched rows BEFORE the shuffle — for a
+    selective join this removes most of the exchange volume at the
+    cost of re-reading the filtering side.  False positives only, so
+    results are identical.  With ``how="left"`` only
+    ``bloom_from="left"`` is sound (filtering the left side would
+    drop rows that must survive unmatched).
 
     Topology: both inputs are projected to (key, payload, side-tag)
     rows, unioned, and exchanged ONCE on a coarse hash partition of
@@ -140,9 +219,33 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how!r}")
+    if bloom_from not in (None, "left", "right"):
+        raise ValueError(f"bad bloom_from: {bloom_from!r}")
+    if how == "left" and bloom_from == "right":
+        raise ValueError(
+            "bloom_from='right' would drop unmatched left rows that a "
+            "left outer join must keep; use bloom_from='left'")
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"payload columns appear on both sides: {overlap}")
+
+    if bloom_from is not None:
+        import ray as _ray
+
+        src = left_ds if bloom_from == "left" else right_ds
+        words_ref = _ray.put(build_bloom(src, key))
+
+        def prefilter(batch: pa.Table) -> pa.Table:
+            words = _ray.get(words_ref)
+            return batch.filter(pa.array(
+                bloom_contains(words, batch.column(key))))
+
+        if bloom_from == "left":
+            right_ds = right_ds.map_batches(prefilter,
+                                            batch_format="pyarrow")
+        else:
+            left_ds = left_ds.map_batches(prefilter,
+                                          batch_format="pyarrow")
 
     left_types = {c: left_ds.schema().base_schema.field(c).type
                   for c in left_cols}

@@ -195,3 +195,51 @@ def test_exact_group_quantiles(ray_session):
             r = rows[(gv, bp)]
             assert r["value"] == vals[k - 1], (gv, q)
             assert r["k"] == k
+
+
+# ------------------------------------------------- bloom join prefilter
+
+def test_bloom_no_false_negatives_and_low_fpr(ray_session):
+    from imgray.ops.relational import bloom_contains, build_bloom
+
+    rng = np.random.RandomState(9)
+    present = rng.randint(0, 1 << 40, size=5000).astype(np.int64)
+    absent = (rng.randint(0, 1 << 40, size=5000) | (1 << 41)).astype(
+        np.int64)
+    ds = _ds(pa.table({"k": present})).repartition(4)
+    words = build_bloom(ds, "k")
+    hit = bloom_contains(words, pa.chunked_array([pa.array(present)]))
+    assert hit.all()  # no false negatives, combined across blocks
+    fp = bloom_contains(words, pa.chunked_array([pa.array(absent)]))
+    assert fp.mean() < 0.01  # 8M bits / 5k keys → tiny FPR
+
+
+def test_hash_join_bloom_prefilter_identical(ray_session):
+    rng = np.random.RandomState(13)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 200, size=500), type=pa.int64()),
+        "lv": pa.array(rng.randint(0, 10, size=500), type=pa.int64())})
+    right = pa.table({
+        "k": pa.array(rng.randint(150, 400, size=300), type=pa.int64()),
+        "rv": pa.array(rng.randint(0, 10, size=300), type=pa.int64())})
+    base = _hj(left, right, "k", ["lv"], ["rv"])
+    for side in ("left", "right"):
+        assert _hj(left, right, "k", ["lv"], ["rv"],
+                   bloom_from=side) == base
+    # left outer: bloom from the left only
+    basel = _hj(left, right, "k", ["lv"], ["rv"], how="left")
+    assert _hj(left, right, "k", ["lv"], ["rv"], how="left",
+               bloom_from="left") == basel
+
+
+def test_hash_join_bloom_right_with_left_outer_rejected(ray_session):
+    from imgray.ops.relational import hash_join
+
+    left = _ds(pa.table({"k": pa.array([1], type=pa.int64()),
+                         "v": pa.array([1], type=pa.int64())}))
+    try:
+        hash_join(left, left, "k", ["v"], [], how="left",
+                  bloom_from="right")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
