@@ -713,6 +713,54 @@ def q_order_bulk_counts(sf_dir: str):
                                        batch_size=None))
 
 
+def q_lineitem_profile(sf_dir: str):
+    """Single-pass table profiler (the ``describe`` class): min / max /
+    sum / row count / null count for every numeric lineitem column in
+    ONE streaming pass — each block emits one fixed-size partial row
+    per column, combined on the driver.  Money-typed columns are
+    profiled in integer cents so the sums hash-match SQL exactly."""
+    cols = {
+        "l_quantity": False,
+        "l_extendedprice": True,   # True → profile in cents
+        "l_discount": True,
+        "l_tax": True,
+    }
+    ds = _read(sf_dir, "lineitem", list(cols))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, mins, maxs, sums, ns, nulls = [], [], [], [], [], []
+        for c, money in cols.items():
+            col = batch.column(c)
+            v = _cents(col) if money else pc.cast(col, pa.int64())
+            names.append(c)
+            mins.append(pc.min(v).as_py())
+            maxs.append(pc.max(v).as_py())
+            sums.append(pc.sum(v).as_py() or 0)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+        return pa.table({
+            "col_name": pa.array(names),
+            "min_v": pa.array(mins, type=pa.int64()),
+            "max_v": pa.array(maxs, type=pa.int64()),
+            "sum_v": pa.array(sums, type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+            "nulls": pa.array(nulls, type=pa.int64()),
+        })
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    g = t.group_by("col_name").aggregate([
+        ("min_v", "min"), ("max_v", "max"), ("sum_v", "sum"),
+        ("n", "sum"), ("nulls", "sum")])
+    return pa.table({
+        "col_name": g.column("col_name"),
+        "min_v": g.column("min_v_min"),
+        "max_v": g.column("max_v_max"),
+        "sum_v": g.column("sum_v_sum"),
+        "n": g.column("n_sum"),
+        "nulls": g.column("nulls_sum"),
+    })
+
+
 def q_priority_price_quantiles(sf_dir: str):
     """Grouped exact quantiles: median and p90 order price per order
     priority — every open (group, q) bracket shares each streaming
@@ -1422,6 +1470,7 @@ QUERIES = {
     "order_bulk_counts": q_order_bulk_counts,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
+    "lineitem_profile": q_lineitem_profile,
     "fingerprint": q_fingerprint,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
@@ -1856,6 +1905,35 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "lineitem_profile": """
+        SELECT 'l_quantity' AS col_name,
+               CAST(min(l_quantity) AS BIGINT) AS min_v,
+               CAST(max(l_quantity) AS BIGINT) AS max_v,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_v,
+               count(*) AS n,
+               count(*) - count(l_quantity) AS nulls
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               min(CAST(round(l_extendedprice*100) AS BIGINT)),
+               max(CAST(round(l_extendedprice*100) AS BIGINT)),
+               sum(CAST(round(l_extendedprice*100) AS BIGINT)),
+               count(*), count(*) - count(l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               min(CAST(round(l_discount*100) AS BIGINT)),
+               max(CAST(round(l_discount*100) AS BIGINT)),
+               sum(CAST(round(l_discount*100) AS BIGINT)),
+               count(*), count(*) - count(l_discount)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax',
+               min(CAST(round(l_tax*100) AS BIGINT)),
+               max(CAST(round(l_tax*100) AS BIGINT)),
+               sum(CAST(round(l_tax*100) AS BIGINT)),
+               count(*), count(*) - count(l_tax)
+        FROM lineitem""",
     "priority_price_quantiles": """
         WITH v AS (SELECT o_orderpriority AS grp,
                           CAST(round(o_totalprice*100) AS BIGINT) AS c
