@@ -226,3 +226,62 @@ def rare_terms(ds, k: int = 3, text_col: str = "text",
         })
 
     return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Per document, the ``k`` highest-TF-IDF terms with
+    integer-deterministic scores: ``score = tf * idf_milli`` where
+    ``idf_milli = floor(1000 * ln(N / df) + 0.5)``.
+
+    The ``ln`` is evaluated once per DISTINCT df value through libm's
+    double ``log`` — the same code path DuckDB's ``ln`` takes — so the
+    SQL oracle reproduces every score bit-exactly; ranking ties break
+    on ``(score DESC, term ASC)``.
+
+    Same two-pass shape as :func:`rare_terms`: (1) the inverted-index
+    combine yields the vocabulary-sized df map, broadcast once via
+    ``ray.put``; (2) one ``map_batches`` scan computes per-doc term
+    frequencies and ranks against the broadcast map.  No per-doc
+    shuffle join.
+    """
+    import math
+    from collections import Counter
+
+    import ray
+
+    n_docs = ds.count()
+    df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
+                            posting_cap=0)
+    df_map = {}
+    for b in df_tab.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        df_map.update(zip(t.column("term").to_pylist(),
+                          t.column("df").to_pylist()))
+    idf_m = {df: math.floor(1000 * math.log(n_docs / df) + 0.5)
+             for df in set(df_map.values())}
+    score_map = {w: idf_m[df] for w, df in df_map.items()}
+    ref = ray.put(score_map)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        idfm = ray.get(ref)
+        out_id, out_rank, out_term, out_score = [], [], [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            tf = Counter(_tokens(t))
+            scored = sorted(((tf_c * idfm[w], w)
+                             for w, tf_c in tf.items()),
+                            key=lambda sv: (-sv[0], sv[1]))
+            for r, (s, w) in enumerate(scored[:k], start=1):
+                out_id.append(d)
+                out_rank.append(r)
+                out_term.append(w)
+                out_score.append(s)
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "rank": pa.array(out_rank, type=pa.int64()),
+            "term": pa.array(out_term, type=pa.string()),
+            "score": pa.array(out_score, type=pa.int64()),
+        })
+
+    return ds.map_batches(rank, batch_format="pyarrow")

@@ -551,6 +551,16 @@ def q_inverted_index(sf_dir: str):
     return _collect(inverted_index(ds, posting_cap=20))
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms with integer-deterministic scores
+    (tf x floor(1000*ln(N/df)+0.5)) — the libm ln is shared with
+    DuckDB so even the idf-scaled scores hash-match the oracle."""
+    from ..ops.corpus import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(tfidf_top_terms(ds, k=3))
+
+
 def q_rare_terms(sf_dir: str):
     """Per-doc 3 rarest terms by corpus document frequency (the
     integer-deterministic core of TF-IDF term selection): df map from
@@ -1456,6 +1466,7 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "inverted_index": q_inverted_index,
     "rare_terms": q_rare_terms,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "customers_no_orders": q_customers_no_orders,
     "price_quantiles": q_price_quantiles,
     "parts_with_bulk_orders": q_parts_with_bulk_orders,
@@ -1827,6 +1838,32 @@ ORACLE_SQL = {
                array_to_string(list_slice(list_sort(list(doc_id)), 1, 20),
                                ',') AS posting
         FROM p GROUP BY term""",
+    "tfidf_top_terms": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS tk
+            FROM documents),
+        tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM tok GROUP BY term),
+        nn AS (SELECT count(*) AS n FROM documents),
+        idf AS (SELECT term,
+                       CAST(floor(1000 * ln(CAST(n AS DOUBLE) / df)
+                                  + 0.5) AS BIGINT) AS idf_m
+                FROM df, nn),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf_m AS score
+               FROM tf JOIN idf USING (term)),
+        r AS (SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC)
+                         AS rnk
+              FROM sc)
+        SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term,
+               CAST(score AS BIGINT) AS score
+        FROM r WHERE rnk <= 3""",
     "rare_terms": r"""
         WITH t AS (
             SELECT doc_id,
