@@ -174,8 +174,11 @@ def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
                            num_partitions: int) -> pa.Array:
     """Deterministic partition ids for a key column.  Integer keys use
     a vectorized Knuth multiplicative hash (no Python per row); other
-    types fall back to blake2b of the string form (matches
-    coarse_partition_groups so co-partitioned stages compose)."""
+    types fall back to blake2b of the string form.  NOTE: the integer
+    path does NOT match coarse_partition_groups (which blake2b-hashes
+    the string form) — do not assume a hash_join output and a
+    coarse_partition_groups stage on the same integer key are
+    co-partitioned; only the string fallback coincides."""
     if pa.types.is_integer(keys.type):
         v = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
         h = (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
@@ -189,10 +192,19 @@ def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
 
 def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
               right_cols: list[str], num_partitions: int = 64,
-              how: str = "inner", bloom_from: str | None = None):
+              how: str = "inner", bloom_from: str | None = None,
+              post_join=None):
     """Equi-join of two LARGE datasets — neither side broadcast.
     ``how`` is ``"inner"`` or ``"left"`` (left outer: unmatched left
     rows survive with null right-side columns).
+
+    ``post_join`` (optional) is applied to each partition's complete
+    joined table INSIDE the partition task.  This is the only sound
+    place for per-key aggregates that exploit key co-location:
+    ``map_groups`` guarantees the UDF sees the whole partition, but
+    Ray Data's dynamic block splitting may split the OUTPUT into
+    several blocks, so downstream per-batch code must never assume
+    one batch == one partition.
 
     ``bloom_from="left"`` (or ``"right"``) builds a Bloom filter over
     that side's keys in an extra streaming pass (one 1 MiB OR-combined
@@ -280,18 +292,20 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
         rt = (part.filter(pc.equal(side, 1))
               .select([key] + right_cols))
         if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
-            return pa.table(
+            joined = pa.table(
                 {c: pa.array([], type=(left_types.get(c) or
                                        right_types.get(c) or
                                        lt.schema.field(key).type))
                  for c in out_cols})
-        if rt.num_rows == 0:  # left outer, nothing to match
+        elif rt.num_rows == 0:  # left outer, nothing to match
             for c in right_cols:
                 lt = lt.append_column(
                     c, pa.nulls(lt.num_rows, type=right_types[c]))
-            return lt.select(out_cols)
-        jt = "inner" if how == "inner" else "left outer"
-        return lt.join(rt, keys=key, join_type=jt).select(out_cols)
+            joined = lt.select(out_cols)
+        else:
+            jt = "inner" if how == "inner" else "left outer"
+            joined = lt.join(rt, keys=key, join_type=jt).select(out_cols)
+        return post_join(joined) if post_join is not None else joined
 
     return (tagged.groupby("_part")
             .map_groups(join_partition, batch_format="pyarrow"))

@@ -659,11 +659,12 @@ def q_q3_shipping(sf_dir: str):
 
     # bloom_from="left": the filtered orders side is small, so the
     # Bloom pass drops ~97% of lineitem rows BEFORE the exchange
-    joined = hash_join(orders, line, "o_orderkey",
-                       ["o_day"], ["rev_cents"], bloom_from="left")
-
-    def block_top10(part: pa.Table) -> pa.Table:
-        g = (part.group_by(["o_orderkey", "o_day"])
+    def partition_top10(joined: pa.Table) -> pa.Table:
+        # runs INSIDE the join-partition task (hash_join post_join),
+        # where every (o_orderkey, o_day) group is guaranteed complete
+        # — per-batch code downstream could see partition output split
+        # by dynamic block splitting, so it must not aggregate
+        g = (joined.group_by(["o_orderkey", "o_day"])
              .aggregate([("rev_cents", "sum")]))
         rev = g.column("rev_cents_sum").to_numpy(zero_copy_only=False)
         okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
@@ -673,12 +674,9 @@ def q_q3_shipping(sf_dir: str):
                          "revenue_cents": t.column("rev_cents_sum"),
                          "o_day": t.column("o_day")})
 
-    # batch_size=None: one batch per block, and each block is one join
-    # partition, so every (o_orderkey, o_day) group is complete within
-    # its batch and the per-batch top-10 partial is exact.
-    partials = _collect(joined.map_batches(block_top10,
-                                           batch_format="pyarrow",
-                                           batch_size=None))
+    partials = _collect(hash_join(
+        orders, line, "o_orderkey", ["o_day"], ["rev_cents"],
+        bloom_from="left", post_join=partition_top10))
     rev = partials.column("revenue_cents").to_numpy(zero_copy_only=False)
     okey = partials.column("o_orderkey").to_numpy(zero_copy_only=False)
     return partials.take(pa.array(np.lexsort((okey, -rev))[:10]))
@@ -705,11 +703,10 @@ def q_order_bulk_counts(sf_dir: str):
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
         .map_batches(bulk, batch_format="pyarrow")
 
-    joined = hash_join(orders, line, "o_orderkey", [], ["one"],
-                       how="left")
-
-    def count_block(part: pa.Table) -> pa.Table:
-        t = (part.group_by("o_orderkey")
+    def partition_counts(joined: pa.Table) -> pa.Table:
+        # inside the join-partition task: every order's rows (matched
+        # or the single null row) are complete here, never split
+        t = (joined.group_by("o_orderkey")
              .aggregate([("one", "sum")]))
         n = t.column("one_sum").to_numpy(zero_copy_only=False)
         return pa.table({
@@ -718,9 +715,8 @@ def q_order_bulk_counts(sf_dir: str):
                                              nan=0.0).astype(np.int64)),
         })
 
-    return _collect(joined.map_batches(count_block,
-                                       batch_format="pyarrow",
-                                       batch_size=None))
+    return _collect(hash_join(orders, line, "o_orderkey", [], ["one"],
+                              how="left", post_join=partition_counts))
 
 
 def q_lineitem_profile(sf_dir: str):
@@ -813,15 +809,14 @@ def q_daily_active_users(sf_dir: str):
     nparts = 64
 
     def pairs(b: pa.Table) -> pa.Table:
+        from ..ops.relational import _hash_partition_column
+
         t = pa.table({
             "day": pc.strftime(b.column("ts"), format="%Y-%m-%d"),
             "user_id": b.column("user_id"),
         }).group_by(["day", "user_id"]).aggregate([])
-        uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
-            >> np.uint64(33)
         return t.append_column(
-            "_part", pa.array((h % np.uint64(nparts)).astype(np.int32)))
+            "_part", _hash_partition_column(t.column("user_id"), nparts))
 
     def count_per_day(part: pa.Table) -> pa.Table:
         t = (part.select(["day", "user_id"])
@@ -909,18 +904,23 @@ def q_nation_rollup(sf_dir: str):
                           ["c_custkey", "c_nationkey"]))
     nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
                     nation.column("n_name").to_pylist()))
-    cmap_ref = ray.put((
-        cust.column("c_custkey").to_numpy(zero_copy_only=False),
-        cust.column("c_nationkey").to_numpy(zero_copy_only=False)))
+    # sort ONCE on the driver so workers skip the per-batch argsort
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nk = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(ck)
+    cmap_ref = ray.put((ck[order], nk[order]))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(b: pa.Table) -> pa.Table:
-        ck, nk = ray.get(cmap_ref)
-        order = np.argsort(ck)
-        pos = np.searchsorted(ck[order], b.column("o_custkey")
-                              .to_numpy(zero_copy_only=False))
-        nkey = nk[order][pos]
+        ck_s, nk_s = ray.get(cmap_ref)
+        keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck_s, keys)
+        # FK integrity check: a dangling o_custkey must fail loudly,
+        # not map to a neighboring customer
+        if (pos >= len(ck_s)).any() or not (ck_s[pos] == keys).all():
+            raise ValueError("o_custkey not found in customer")
+        nkey = nk_s[pos]
         t = pa.table({
             "nk": pa.array(nkey, type=pa.int32()),
             "cents": _cents(b.column("o_totalprice")),
