@@ -719,6 +719,40 @@ def q_order_bulk_counts(sf_dir: str):
                               how="left", post_join=partition_counts))
 
 
+def q_props_k_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column with Arrow's vectorized ``extract_regex``
+    kernel (no per-row Python JSON parsing) and aggregate per event
+    type — partial per block, tiny driver combine.  Oracle uses
+    DuckDB's json_extract."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "k": k,
+        }).group_by("event_type").aggregate([
+            ("k", "sum"), ("k", "max"), ("k", "count")])
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "k_sum": t.column("k_sum"),
+            "k_max": t.column("k_max"),
+            "n": pc.cast(t.column("k_count"), pa.int64()),
+        })
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    g = t.group_by("event_type").aggregate([
+        ("k_sum", "sum"), ("k_max", "max"), ("n", "sum")])
+    return pa.table({
+        "event_type": g.column("event_type"),
+        "k_sum": g.column("k_sum_sum"),
+        "k_max": g.column("k_max_max"),
+        "n": g.column("n_sum"),
+    })
+
+
 def q_lineitem_profile(sf_dir: str):
     """Single-pass table profiler (the ``describe`` class): min / max /
     sum / row count / null count for every numeric lineitem column in
@@ -1482,6 +1516,7 @@ QUERIES = {
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
     "lineitem_profile": q_lineitem_profile,
+    "props_k_stats": q_props_k_stats,
     "fingerprint": q_fingerprint,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
@@ -1942,6 +1977,14 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "props_k_stats": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_max,
+               count(*) AS n
+        FROM events GROUP BY event_type""",
     "lineitem_profile": """
         SELECT 'l_quantity' AS col_name,
                CAST(min(l_quantity) AS BIGINT) AS min_v,
