@@ -108,6 +108,25 @@ _PAIR_COS = pa.schema([("a", pa.int64()), ("b", pa.int64()),
 
 
 
+def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
+                           num_partitions: int) -> pa.Array:
+    """Deterministic partition ids for a key column.  Integer keys use
+    a vectorized Knuth multiplicative hash (no Python per row); other
+    types fall back to blake2b of the string form.  This is THE shared
+    partitioner — coarse_partition_groups, hash_join and the
+    partitioned parquet sink all route through it, so stages keyed on
+    the same column are co-partitioned by construction."""
+    if pa.types.is_integer(keys.type):
+        v = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
+        h = (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+    vals = keys.to_pylist()
+    parts = [int.from_bytes(
+        hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
+        "big") % num_partitions for k in vals]
+    return pa.array(parts, type=pa.int32())
+
+
 def coarse_partition_groups(ds, key_col: str, per_partition_fn,
                             num_partitions: int = 64):
     """groupby-by-key with MANY tiny groups: dispatching one map_groups
@@ -117,11 +136,9 @@ def coarse_partition_groups(ds, key_col: str, per_partition_fn,
     receives the partition table sorted by ``key_col``."""
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        parts = [int.from_bytes(
-            hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
-            "big") % num_partitions for k in keys]
-        return batch.append_column("_part", pa.array(parts, type=pa.int32()))
+        return batch.append_column(
+            "_part", _hash_partition_column(batch.column(key_col),
+                                            num_partitions))
 
     def run(part: pa.Table) -> pa.Table:
         return per_partition_fn(part.drop_columns(["_part"])

@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import coarse_partition_groups
+from .dedup import _hash_partition_column, coarse_partition_groups
 
 
 # ------------------------------------------------------------ anti-join
@@ -169,26 +169,6 @@ def bloom_contains(words: np.ndarray, keys,
 
 
 # ---------------------------------------------------- shuffle hash join
-
-def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
-                           num_partitions: int) -> pa.Array:
-    """Deterministic partition ids for a key column.  Integer keys use
-    a vectorized Knuth multiplicative hash (no Python per row); other
-    types fall back to blake2b of the string form.  NOTE: the integer
-    path does NOT match coarse_partition_groups (which blake2b-hashes
-    the string form) — do not assume a hash_join output and a
-    coarse_partition_groups stage on the same integer key are
-    co-partitioned; only the string fallback coincides."""
-    if pa.types.is_integer(keys.type):
-        v = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
-        h = (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
-    vals = keys.to_pylist()
-    parts = [int.from_bytes(
-        hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
-        "big") % num_partitions for k in vals]
-    return pa.array(parts, type=pa.int32())
-
 
 def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
               right_cols: list[str], num_partitions: int = 64,

@@ -24,7 +24,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .ops.relational import _hash_partition_column
+from .ops.dedup import _hash_partition_column
 
 
 def write_partitioned(ds, root: str, key: str, nbuckets: int = 64,

@@ -240,7 +240,7 @@ def q_top2_events_per_user(sf_dir: str):
     equivalent to groupby().map_groups but without one task per group
     (top-k is decomposable: the global top-2 of a user is within the
     union of the per-block top-2s)."""
-    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_id", "value"])
 
     def _topk(t: pa.Table) -> pa.Table:
         # zero-copy numpy: global (value desc, event_id asc) order, then
@@ -597,13 +597,13 @@ def q_customers_no_orders(sf_dir: str):
     keys into one coarse hash-partitioned combine."""
     from ..ops.relational import anti_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    cust = _read_sized(sf_dir, "customer", ["c_custkey", "c_name"])
 
     def urgent_keys(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
         return pa.table({"c_custkey": t.column("o_custkey")})
 
-    orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    orders = (_read_sized(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
               .map_batches(urgent_keys, batch_format="pyarrow"))
     return _collect(anti_join(cust, orders, "c_custkey", ["c_name"]))
 
@@ -859,11 +859,11 @@ def q_daily_active_users(sf_dir: str):
     distinct is globally exact — emitting tiny per-partition day
     counts that sum on the driver.  The per-day group is never
     co-located anywhere (a hot day would swamp a groupby(day))."""
-    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    ds = _read_sized(sf_dir, "events", ["ts", "user_id"])
     nparts = 64
 
     def pairs(b: pa.Table) -> pa.Table:
-        from ..ops.relational import _hash_partition_column
+        from ..ops.dedup import _hash_partition_column
 
         t = pa.table({
             "day": pc.strftime(b.column("ts"), format="%Y-%m-%d"),
@@ -894,7 +894,7 @@ def q_event_gaps(sf_dir: str):
     previous event (events without a predecessor are dropped) —
     groupby(user).map_groups with an in-group sort + vectorized
     diff, same family as sessionize."""
-    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def gaps(g: pa.Table) -> pa.Table:
         g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
@@ -1138,7 +1138,7 @@ def q_sessionize(sf_dir: str):
     """Sessionization (30-min inactivity gap) — the streaming-window
     class of operator, expressed as groupby(user).map_groups with an
     in-group sort; SQL oracle uses window functions."""
-    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def sess(g: pa.Table) -> pa.Table:
         g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
@@ -1159,7 +1159,7 @@ def q_sessionize(sf_dir: str):
 
 def q_running_total(sf_dir: str):
     """Per-user running total (ordered cumulative window)."""
-    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    ds = _read_sized(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
 
     def run(g: pa.Table) -> pa.Table:
         g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
@@ -1251,13 +1251,13 @@ def q_parts_with_bulk_orders(sf_dir: str):
     coarse hash-partitioned combine, no broadcast of either side."""
     from ..ops.relational import semi_join
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    part = _read_sized(sf_dir, "part", ["p_partkey", "p_name"])
 
     def bulk_keys(b: pa.Table) -> pa.Table:
         t = b.filter(pc.greater_equal(b.column("l_quantity"), 48))
         return pa.table({"p_partkey": t.column("l_partkey")})
 
-    li = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    li = (_read_sized(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
           .map_batches(bulk_keys, batch_format="pyarrow"))
     return _collect(semi_join(part, li, "p_partkey", ["p_name"]))
 
