@@ -739,6 +739,26 @@ def q_order_bulk_counts(sf_dir: str):
                               how="left", post_join=partition_counts))
 
 
+def q_user_event_paths(sf_dir: str):
+    """Ordered string aggregation: each user's first-8 event-type
+    sequence as a comma-joined path (clickstream funnel shape) —
+    groupby(user).map_groups with an in-group sort, the same windowed
+    family as sessionize; the cap bounds output row width."""
+    ds = _read_sized(sf_dir, "events",
+                     ["user_id", "event_type", "ts", "event_id"])
+
+    def path(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        types = g.column("event_type").to_pylist()[:8]
+        return pa.table({
+            "user_id": g.column("user_id").slice(0, 1),
+            "path": pa.array([",".join(types)]),
+        })
+
+    return _collect(ds.groupby("user_id").map_groups(
+        path, batch_format="pyarrow"))
+
+
 def q_props_k_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer ``k`` field out of
     the JSON ``props`` column with Arrow's vectorized ``extract_regex``
@@ -1537,6 +1557,7 @@ QUERIES = {
     "priority_price_quantiles": q_priority_price_quantiles,
     "lineitem_profile": q_lineitem_profile,
     "props_k_stats": q_props_k_stats,
+    "user_event_paths": q_user_event_paths,
     "fingerprint": q_fingerprint,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
@@ -1997,6 +2018,15 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "user_event_paths": """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+        FROM (SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) t
+        WHERE rn <= 8
+        GROUP BY user_id""",
     "props_k_stats": """
         SELECT event_type,
                CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
