@@ -79,3 +79,56 @@ def hll_count(ds, col: str) -> int:
             np.maximum(total, np.frombuffer(raw, dtype=np.uint8),
                        out=total)
     return hll_estimate(total)
+
+
+# --------------------------------------------------- count-min sketch
+
+CMS_W = 16384     # counters per hash row
+CMS_D = 4         # hash rows; overestimate P ≈ (n/W)^D
+
+
+def _cms_cell(token: str, j: int) -> int:
+    h = int.from_bytes(
+        hashlib.md5((str(j) + ":" + token).encode()).digest()[:8], "big")
+    return h % CMS_W
+
+
+def cms_registers(token_counts) -> np.ndarray:
+    """(D, W) int64 counter matrix from a {token: count} mapping —
+    each DISTINCT token is hashed once per row and contributes its
+    full count, so heavy corpora pay md5 per distinct token, not per
+    occurrence."""
+    counts = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for tok, n in token_counts.items():
+        for j in range(CMS_D):
+            counts[j, _cms_cell(tok, j)] += n
+    return counts
+
+
+def cms_count(ds, text_col: str, probes: list[str]) -> "pa.Table":
+    """Count-Min frequency estimates (Cormode & Muthukrishnan, 2005;
+    public algorithm) for ``probes`` over whitespace tokens of
+    ``text_col`` — one streaming pass, one fixed 512 KiB counter
+    partial per block, summed on the driver.  Counter sums are
+    order-invariant integers and the md5 cell hash is reproducible in
+    SQL, so the ESTIMATES (never under, possibly over) hash-match a
+    DuckDB oracle exactly."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update((t or "").split())
+        return pa.table({"c": pa.array([cms_registers(c).tobytes()],
+                                       type=pa.binary())})
+
+    total = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for raw in pa.table(b).column("c").to_pylist():
+            total += np.frombuffer(raw, dtype=np.int64).reshape(
+                CMS_D, CMS_W)
+    ests = [int(min(total[j, _cms_cell(p, j)] for j in range(CMS_D)))
+            for p in probes]
+    return pa.table({"p": pa.array(probes),
+                     "est": pa.array(ests, type=pa.int64())})

@@ -739,6 +739,18 @@ def q_order_bulk_counts(sf_dir: str):
                               how="left", post_join=partition_counts))
 
 
+def q_cms_term_counts(sf_dir: str):
+    """Count-Min sketch frequency estimates for probe terms over the
+    document corpus — ORACLE-CHECKED like the HLL sketch: counter sums
+    are order-invariant integers and the md5 cell hash is rebuilt in
+    SQL, so the (possibly over-) estimates hash-match exactly.  One
+    512 KiB partial per block regardless of corpus size."""
+    from ..ops.sketch import cms_count
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return cms_count(ds, "text", ["the", "data", "of", "zzzz"])
+
+
 def q_user_event_paths(sf_dir: str):
     """Ordered string aggregation: each user's first-8 event-type
     sequence as a comma-joined path (clickstream funnel shape) —
@@ -1558,6 +1570,7 @@ QUERIES = {
     "lineitem_profile": q_lineitem_profile,
     "props_k_stats": q_props_k_stats,
     "user_event_paths": q_user_event_paths,
+    "cms_term_counts": q_cms_term_counts,
     "fingerprint": q_fingerprint,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
@@ -2018,6 +2031,31 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "cms_term_counts": r"""
+        WITH tok AS (
+            SELECT unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '')) AS t
+            FROM documents),
+        cells AS (
+            SELECT j,
+                   CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                            || t), 1, 16))
+                        AS UBIGINT) % 16384 AS c,
+                   count(*) AS n
+            FROM tok, LATERAL (SELECT unnest(range(4)) AS j)
+            GROUP BY j, c),
+        probes(p) AS (VALUES ('the'), ('data'), ('of'), ('zzzz')),
+        pcell AS (
+            SELECT p, j,
+                   CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                            || p), 1, 16))
+                        AS UBIGINT) % 16384 AS c
+            FROM probes, LATERAL (SELECT unnest(range(4)) AS j))
+        SELECT p, CAST(min(COALESCE(cells.n, 0)) AS BIGINT) AS est
+        FROM pcell LEFT JOIN cells
+             ON pcell.j = cells.j AND pcell.c = cells.c
+        GROUP BY p""",
     "user_event_paths": """
         SELECT user_id,
                string_agg(event_type, ',' ORDER BY ts, event_id) AS path

@@ -43,3 +43,25 @@ def test_hll_count_dataset_matches_direct(ray_session):
 
     assert hll_count(ds, "v") == hll_estimate(hll_registers(
         vals.tolist()))
+
+
+def test_cms_never_underestimates_and_is_block_invariant(ray_session):
+    import ray.data
+    from collections import Counter
+
+    from imgray.ops.sketch import cms_count
+
+    texts = [" ".join(["w%d" % (i % 37) for i in range(j, j + 50)])
+             for j in range(200)]
+    exact = Counter(t for s in texts for t in s.split())
+    probes = ["w0", "w5", "w36", "missing"]
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(
+            pa.table({"text": texts})).repartition(nblocks)
+        out = {r["p"]: r["est"] for r in
+               cms_count(ds, "text", probes).to_pylist()}
+        for p in probes:
+            assert out[p] >= exact.get(p, 0), (p, nblocks)
+        # sparse table → estimates exact here
+        assert out["missing"] == 0
+        assert out["w0"] == exact["w0"]
