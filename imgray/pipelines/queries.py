@@ -321,7 +321,7 @@ def q_exact_dedup_docs(sf_dir: str):
     md5 hash for DuckDB-oracle parity."""
     from ..ops.dedup import exact_dedup
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     t = _collect(exact_dedup(
         ds, hash_fn=lambda x: hashlib.md5(x.encode()).hexdigest()))
     return pa.table({"h": t.column("hash"),
@@ -341,7 +341,7 @@ def q_token_counts(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     from ..ops.dedup import minhash_lsh_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
@@ -355,7 +355,7 @@ def q_simhash_pairs(sf_dir: str):
     the two agree.)"""
     from ..ops.dedup import simhash_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
 
 
@@ -450,7 +450,7 @@ def q_substring_pairs(sf_dir: str):
     on the driver."""
     from ..ops.dedup import shared_ngram_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     return shared_ngram_pairs(ds, n=32)
 
 
@@ -554,7 +554,7 @@ def q_top_bigrams(sf_dir: str):
     tiny driver merge."""
     from ..ops.corpus import ngram_counts
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     return ngram_counts(ds, n=2, top_k=100)
 
 
@@ -564,7 +564,7 @@ def q_inverted_index(sf_dir: str):
     pairs shuffle; output rows are bounded per term."""
     from ..ops.corpus import inverted_index
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     return _collect(inverted_index(ds, posting_cap=20))
 
 
@@ -585,7 +585,7 @@ def q_rare_terms(sf_dir: str):
     scan — no per-doc shuffle join."""
     from ..ops.corpus import rare_terms
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     return _collect(rare_terms(ds, k=3))
 
 
@@ -1466,7 +1466,7 @@ def q_pack_bins(sf_dir: str):
             "n_tok": t.column("n_tokens"),
             "bucket": pa.array(ids // BW, type=pa.int64())})
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         tok, batch_format="pyarrow")
 
     def bpart(batch: pa.Table) -> pa.Table:
