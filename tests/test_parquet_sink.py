@@ -60,3 +60,46 @@ def test_no_tmp_debris_after_success(ray_session):
 
     assert glob.glob(root + "/**/*.tmp", recursive=True) == []
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_range_partitioned_balanced_sorted_pruned(ray_session):
+    import numpy as np
+    import ray.data
+
+    from imgray.parquet_sink import read_range, write_range_partitioned
+
+    root = "/tmp/imgray-test-rsink"
+    shutil.rmtree(root, ignore_errors=True)
+    rng = np.random.RandomState(31)
+    # heavy skew: zipf-ish values
+    vals = (rng.zipf(1.3, size=8000) % 100000).astype("int64")
+    ds = ray.data.from_arrow(pa.table({
+        "k": vals, "v": np.arange(8000, dtype="int64")})).repartition(8)
+    stats = write_range_partitioned(ds, root, "k", nbuckets=8)
+    assert stats["rows"] == 8000
+
+    # balance: equi-depth cuts keep every bucket under ~4x the mean
+    import glob
+    import pyarrow.parquet as pq_
+
+    sizes = []
+    for f in sorted(glob.glob(root + "/part=*/data.parquet")):
+        t = pq_.read_table(f)
+        sizes.append(t.num_rows)
+        kcol = t.column("k").to_numpy()
+        assert (np.diff(kcol) >= 0).all(), "bucket not sorted"
+    assert max(sizes) <= 4 * (8000 // len(sizes))
+
+    # pruned range read returns exactly the filtered rows
+    lo, hi = 3, 17
+    got = sorted((r["k"], r["v"]) for r in
+                 read_range(root, "k", lo, hi).take_all())
+    want = sorted((int(k), int(v)) for k, v in zip(vals,
+                                                   range(8000))
+                  if lo <= k <= hi)
+    assert got == want
+
+    # resume skips all buckets
+    stats2 = write_range_partitioned(ds, root, "k", nbuckets=8)
+    assert stats2["written"] == [] and len(stats2["skipped"]) >= 1
+    shutil.rmtree(root, ignore_errors=True)
