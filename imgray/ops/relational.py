@@ -452,3 +452,52 @@ def exact_group_quantiles_int(ds, col: str, group_col: str,
         "value": pa.array([results[kk] for kk in out_keys],
                           type=pa.int64()),
     })
+
+
+def auto_join(left_ds, right_ds, key: str, left_cols: list[str],
+              right_cols: list[str], how: str = "inner",
+              broadcast_threshold: int = 1_000_000, **kw):
+    """Join strategy picker: if the RIGHT side is small enough to ship
+    whole (≤ ``broadcast_threshold`` rows), do a broadcast join — the
+    right table is collected once, ``ray.put`` once, and every left
+    batch joins against it locally with Arrow's hash join (zero
+    shuffle).  Otherwise fall back to the one-exchange shuffle
+    :func:`hash_join`.  Results are identical either way; only the
+    topology differs.  The ``count()`` probe is a metadata-only pass
+    for parquet sources."""
+    import ray as _ray
+
+    n_right = right_ds.count()
+    if n_right > broadcast_threshold:
+        return hash_join(left_ds, right_ds, key, left_cols,
+                         right_cols, how=how, **kw)
+
+    right_tbl = pa.concat_tables(
+        [t for t in (_ray.get(r) for r in right_ds.to_arrow_refs())
+         if t.num_rows > 0],
+        promote_options="default") if n_right else None
+    if right_tbl is not None:
+        right_tbl = right_tbl.select([key] + right_cols)
+    right_ref = _ray.put(right_tbl)
+    right_types = {c: right_ds.schema().base_schema.field(c).type
+                   for c in right_cols}
+    out_cols = [key] + left_cols + right_cols
+
+    def bjoin(batch: pa.Table) -> pa.Table:
+        rt = _ray.get(right_ref)
+        lt = batch.select([key] + left_cols)
+        if rt is None or rt.num_rows == 0:
+            if how == "left":
+                for c in right_cols:
+                    lt = lt.append_column(
+                        c, pa.nulls(lt.num_rows, type=right_types[c]))
+                return lt.select(out_cols)
+            return lt.slice(0, 0).join(
+                pa.table({key: pa.array([], type=lt.schema.field(key).type),
+                          **{c: pa.array([], type=right_types[c])
+                             for c in right_cols}}),
+                keys=key).select(out_cols)
+        jt = "inner" if how == "inner" else "left outer"
+        return lt.join(rt, keys=key, join_type=jt).select(out_cols)
+
+    return left_ds.map_batches(bjoin, batch_format="pyarrow")

@@ -243,3 +243,47 @@ def test_hash_join_bloom_right_with_left_outer_rejected(ray_session):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_auto_join_picks_broadcast_and_matches_shuffle(ray_session):
+    from imgray.ops.relational import auto_join, hash_join
+
+    rng = np.random.RandomState(17)
+    left = pa.table({"k": pa.array(rng.randint(0, 50, 300), type=pa.int64()),
+                     "lv": pa.array(rng.randint(0, 9, 300), type=pa.int64())})
+    right = pa.table({"k": pa.array(rng.randint(25, 75, 40), type=pa.int64()),
+                      "rv": pa.array(rng.randint(0, 9, 40), type=pa.int64())})
+
+    def run(fn, **kw):
+        tbls = [pa.table(b) for b in
+                fn(_ds(left), _ds(right), "k", ["lv"], ["rv"], **kw)
+                .iter_batches(batch_format="pyarrow")]
+        tbls = [t for t in tbls if t.num_rows]
+        rows = ([] if not tbls else
+                pa.concat_tables(tbls, promote_options="default").to_pylist())
+        return sorted((r["k"], r["lv"], r["rv"]) for r in rows)
+
+    for how in ("inner", "left"):
+        bro = run(auto_join, how=how)                      # broadcast path
+        shf = run(auto_join, how=how, broadcast_threshold=0)  # forced shuffle
+        ref = run(hash_join, how=how)
+        assert bro == ref, how
+        assert shf == ref, how
+
+
+def test_auto_join_broadcast_empty_right(ray_session):
+    from imgray.ops.relational import auto_join
+
+    left = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                     "lv": ["a", "b"]})
+    empty = pa.table({"k": pa.array([], type=pa.int64()),
+                      "rv": pa.array([], type=pa.int64())})
+    out = [pa.table(b) for b in
+           auto_join(_ds(left), _ds(empty), "k", ["lv"], ["rv"])
+           .iter_batches(batch_format="pyarrow")]
+    assert sum(t.num_rows for t in out) == 0
+    out = [pa.table(b) for b in
+           auto_join(_ds(left), _ds(empty), "k", ["lv"], ["rv"],
+                     how="left").iter_batches(batch_format="pyarrow")]
+    rows = sorted(r["k"] for t in out for r in t.to_pylist())
+    assert rows == [1, 2]
