@@ -117,7 +117,11 @@ def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
     partitioned parquet sink all route through it, so stages keyed on
     the same column are co-partitioned by construction."""
     if pa.types.is_integer(keys.type):
-        v = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
+        # null keys deterministically share partition hash(0): a null
+        # int64 would otherwise surface as NaN in to_numpy and its
+        # uint64 cast is platform-undefined
+        v = pc.fill_null(pc.cast(keys, pa.int64()), 0).to_numpy(
+            zero_copy_only=False)
         h = (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
     vals = keys.to_pylist()

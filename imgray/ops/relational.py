@@ -464,8 +464,19 @@ def auto_join(left_ds, right_ds, key: str, left_cols: list[str],
     shuffle).  Otherwise fall back to the one-exchange shuffle
     :func:`hash_join`.  Results are identical either way; only the
     topology differs.  The ``count()`` probe is a metadata-only pass
-    for parquet sources."""
+    for parquet sources.
+
+    Shuffle-specific options (``post_join``, ``bloom_from``) force
+    the shuffle path: ``post_join`` relies on partition co-location
+    the broadcast path does not provide, so silently applying it per
+    broadcast batch would change semantics with data size."""
     import ray as _ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how!r}")
+    if kw.get("post_join") is not None or kw.get("bloom_from") is not None:
+        return hash_join(left_ds, right_ds, key, left_cols,
+                         right_cols, how=how, **kw)
 
     n_right = right_ds.count()
     if n_right > broadcast_threshold:

@@ -112,7 +112,10 @@ def cms_count(ds, text_col: str, probes: list[str]) -> "pa.Table":
     partial per block, summed on the driver.  Counter sums are
     order-invariant integers and the md5 cell hash is reproducible in
     SQL, so the ESTIMATES (never under, possibly over) hash-match a
-    DuckDB oracle exactly."""
+    DuckDB oracle exactly.  (Tokenization caveat shared with the other
+    text oracles: Python ``str.split`` breaks on Unicode whitespace
+    while the oracle's RE2 ``\\s`` is ASCII-only — the two agree on the
+    pure-ASCII test corpora.)"""
     from collections import Counter
 
     def partial(batch: pa.Table) -> pa.Table:

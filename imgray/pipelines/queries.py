@@ -780,18 +780,21 @@ def q_props_k_stats(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # the synthetic corpus guarantees an integer k in every props;
+        # n counts ALL rows (count_all) to match the oracle's count(*)
+        # even if a row's extraction ever came back null
         ex = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>\d+)')
         k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
         t = pa.table({
             "event_type": b.column("event_type"),
             "k": k,
         }).group_by("event_type").aggregate([
-            ("k", "sum"), ("k", "max"), ("k", "count")])
+            ("k", "sum"), ("k", "max"), ([], "count_all")])
         return pa.table({
             "event_type": t.column("event_type"),
             "k_sum": t.column("k_sum"),
             "k_max": t.column("k_max"),
-            "n": pc.cast(t.column("k_count"), pa.int64()),
+            "n": pc.cast(t.column("count_all"), pa.int64()),
         })
 
     t = _collect(ds.map_batches(partial, batch_format="pyarrow"))

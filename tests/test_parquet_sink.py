@@ -103,3 +103,25 @@ def test_range_partitioned_balanced_sorted_pruned(ray_session):
     stats2 = write_range_partitioned(ds, root, "k", nbuckets=8)
     assert stats2["written"] == [] and len(stats2["skipped"]) >= 1
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_meta_guards_layout_changes(ray_session):
+    from imgray.parquet_sink import read_partitioned, write_partitioned
+
+    root = "/tmp/imgray-test-psink-meta"
+    shutil.rmtree(root, ignore_errors=True)
+    write_partitioned(_ds(500), root, "k", nbuckets=16)
+    # resuming with a different layout fails loudly
+    try:
+        write_partitioned(_ds(500), root, "k", nbuckets=4, resume=True)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    # explicit fresh write with fewer buckets drops the stale ones
+    write_partitioned(_ds(500), root, "k", nbuckets=4, resume=False)
+    back = read_partitioned(root).take_all()
+    assert len(back) == 500  # no stale-bucket double counting
+    import glob
+
+    assert len(glob.glob(root + "/part=*")) == 4
+    shutil.rmtree(root, ignore_errors=True)
