@@ -287,3 +287,14 @@ def test_auto_join_broadcast_empty_right(ray_session):
                      how="left").iter_batches(batch_format="pyarrow")]
     rows = sorted(r["k"] for t in out for r in t.to_pylist())
     assert rows == [1, 2]
+
+
+def test_hash_join_null_keys_deterministic(ray_session):
+    # null integer keys must hash deterministically (fill_null path)
+    # and, per SQL semantics, never match anything in an inner join
+    left = pa.table({"k": pa.array([1, None, 2], type=pa.int64()),
+                     "lv": ["a", "b", "c"]})
+    right = pa.table({"k": pa.array([None, 2], type=pa.int64()),
+                      "rv": pa.array([7, 8], type=pa.int64())})
+    rows = _hj(left, right, "k", ["lv"], ["rv"])
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [(2, "c", 8)]
