@@ -751,6 +751,51 @@ def q_cms_term_counts(sf_dir: str):
     return cms_count(ds, "text", ["the", "data", "of", "zzzz"])
 
 
+def q_label_centroids(sf_dir: str):
+    """Vector aggregation: per-label embedding centroid computed in
+    EXACT scaled-integer space — every component is rounded to
+    micro-units (Arrow half-away rounding, the same kernel the money
+    queries share with SQL ``round()``) BEFORE summation, so the
+    per-(label, dim) sums are order-invariant integers that hash-match
+    the oracle; the float mean is ``sum_micro / n / 1e6`` downstream.
+    One streaming pass; each block emits ≤ labels×dim partial rows."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lst = b.column("embedding")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        vals = pc.cast(lst.flatten(), pa.float64())
+        micro = pc.cast(
+            pc.round(pc.multiply(vals, pa.scalar(1e6)), 0,
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        n, d = b.num_rows, len(micro) // max(1, b.num_rows)
+        m = micro.reshape(n, d)
+        labels = b.column("label").to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(labels, return_inverse=True)
+        acc = np.zeros((len(ul), d), dtype=np.int64)
+        np.add.at(acc, inv, m)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d).astype(np.int64)),
+            "idx": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(ul))),
+            "sum_micro": pa.array(acc.ravel()),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    t = (_collect(ds.map_batches(partial, batch_format="pyarrow"))
+         .group_by(["label", "idx"])
+         .aggregate([("sum_micro", "sum"), ("n", "sum")]))
+    return pa.table({
+        "label": t.column("label"),
+        "idx": t.column("idx"),
+        "sum_micro": t.column("sum_micro_sum"),
+        "n": t.column("n_sum"),
+    })
+
+
 def q_user_event_paths(sf_dir: str):
     """Ordered string aggregation: each user's first-8 event-type
     sequence as a comma-joined path (clickstream funnel shape) —
@@ -1574,6 +1619,7 @@ QUERIES = {
     "props_k_stats": q_props_k_stats,
     "user_event_paths": q_user_event_paths,
     "cms_term_counts": q_cms_term_counts,
+    "label_centroids": q_label_centroids,
     "fingerprint": q_fingerprint,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
@@ -2034,6 +2080,15 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "label_centroids": """
+        SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS idx,
+               CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_micro,
+               count(*) AS n
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(len(embedding))) AS i)
+        GROUP BY label, i""",
     "cms_term_counts": r"""
         WITH tok AS (
             SELECT unnest(list_filter(
