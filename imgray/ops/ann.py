@@ -202,3 +202,151 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
                      "rank": pa.array(out["rank"], type=pa.int64()),
                      "vec_id": pa.array(out["vec_id"], type=pa.int64()),
                      "cos": pa.array(out["cos"], type=pa.float64())})
+
+
+# ------------------------------------------------- product quantization
+
+def _det_hash_sample(ds, sample_size: int, vec_col: str, id_col: str):
+    """Deterministic lowest-hash sample as a (n, dim) float64 array —
+    the same block-order-invariant primitive ivf_topk uses."""
+    total = ds.count()
+    if not total:
+        return np.zeros((0, 0))
+    rate = min(1.0, 1.2 * sample_size / total)
+    cut = np.uint64(int(rate * (1 << 32)))
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        keep = h < cut
+        return (batch.filter(pa.array(keep))
+                .append_column("_h", pa.array(h[keep].astype(np.int64),
+                                              type=pa.int64())))
+
+    rows = ds.map_batches(hash_sample, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["_h"], r[id_col]))
+    rows = rows[:sample_size]
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
+def pq_train(ds, m: int = 8, ksub: int = 16, iters: int = 8,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_size: int = 2048) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou, Douze, Schmid,
+    TPAMI 2011 — public algorithm): split the (normalized) dimension
+    into ``m`` subspaces and run k-means with ``ksub`` centroids per
+    subspace over a deterministic lowest-hash sample.  Returns
+    codebooks of shape (m, ksub, dim/m) — the 100-TB similarity-search
+    scale path: each vector compresses to ``m`` bytes, so the whole
+    corpus index fits in memory where raw vectors cannot."""
+    sample = _normalize(_det_hash_sample(ds, sample_size, vec_col,
+                                         id_col))
+    dim = sample.shape[1]
+    assert dim % m == 0, "dim must divide into m subspaces"
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        books[s] = kmeans_lite(sample[:, s * dsub:(s + 1) * dsub],
+                               ksub, iters=iters, seed=42 + s)
+    return books
+
+
+def _pq_assign(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per subspace squared-L2 argmin."""
+    n, dim = vecs.shape
+    m, ksub, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for s in range(m):
+        sub = vecs[:, s * dsub:(s + 1) * dsub]
+        d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = d.argmin(1)
+    return codes
+
+
+def pq_encode(ds, books: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Dataset[{vec_id, code}] with ``code`` a fixed m-byte binary —
+    the persistable compressed index."""
+    m = books.shape[0]
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        b = ray.get(books_ref)
+        vecs = _normalize(list_column_to_numpy(batch.column(vec_col)))
+        codes = _pq_assign(vecs, b)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "code": pa.array([c.tobytes() for c in codes],
+                             type=pa.binary(m)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(ds, books: np.ndarray, queries: np.ndarray, k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            rerank: int = 4):
+    """Asymmetric-distance (ADC) top-k with exact rerank: per query a
+    (m, ksub) inner-product lookup table against the codebooks; each
+    block encodes its vectors and scores them with pure table lookups
+    — O(m) per vector instead of O(dim) — keeps the top ``k*rerank``
+    ADC candidates, re-scores ONLY those with the exact dot product
+    (the standard ADC+rerank design), and emits a per-block partial
+    top-k; tiny driver merge.  ``rerank=1`` is pure ADC.  Ranks
+    tie-break (score DESC, vec_id)."""
+    import heapq
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    m, ksub, dsub = books.shape
+    # LUT[qi, s, c] = q_sub . centroid
+    lut = np.einsum("qsd,scd->qsc", q.reshape(len(q), m, dsub), books)
+    books_ref = ray.put(books)
+    lut_ref = ray.put(lut)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(books_ref)
+        L = ray.get(lut_ref)
+        vecs = _normalize(list_column_to_numpy(batch.column(vec_col)))
+        ids = (batch.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64,
+                                                      copy=False))
+        codes = _pq_assign(vecs, b)          # (n, m)
+        rows = {"query_id": [], "vec_id": [], "cos": []}
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        for qi in range(L.shape[0]):
+            # score = sum over subspaces of LUT[qi, s, code]
+            sc = L[qi][np.arange(m)[None, :], codes].sum(1)
+            cand = min(k * rerank, len(ids))
+            idx = np.argpartition(-sc, cand - 1)[:cand]
+            # exact rerank on the short ADC candidate list only
+            exact = qn[qi] @ vecs[idx].T
+            kk = min(k, cand)
+            keep = idx[np.argpartition(-exact, kk - 1)[:kk]]
+            rows["query_id"] += [qi] * kk
+            rows["vec_id"] += [int(i) for i in ids[keep]]
+            rows["cos"] += [float(qn[qi] @ vecs[j]) for j in keep]
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+            "cos": pa.array(rows["cos"], type=pa.float64())})
+
+    tbls = [t for t in (ray.get(r) for r in
+                        ds.map_batches(partial, batch_format="pyarrow")
+                        .to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tbls) if tbls else None
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
+    rows = t.to_pylist() if t is not None else []
+    for qi in range(len(q)):
+        cand = [(-r["cos"], r["vec_id"]) for r in rows
+                if r["query_id"] == qi]
+        top = heapq.nsmallest(k, cand)
+        for rank, (nc, vid) in enumerate(top):
+            out["query_id"].append(qi)
+            out["rank"].append(rank)
+            out["vec_id"].append(vid)
+            out["cos"].append(round(-nc, 6))
+    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
+                     "rank": pa.array(out["rank"], type=pa.int64()),
+                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                     "cos": pa.array(out["cos"], type=pa.float64())})

@@ -417,6 +417,18 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, _queries_for_ann(sf_dir), k=5, nlist=8, nprobe=3)
 
 
+def q_ann_pq(sf_dir: str):
+    """Rows-only: product-quantization ANN (8-byte codes + ADC lookup
+    scan + exact rerank) — the compressed-index scale path for
+    similarity search; recall vs brute force pinned by
+    tests/test_ops.py."""
+    from ..ops.ann import pq_topk, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_train(ds, m=8, ksub=16)
+    return pq_topk(ds, books, _queries_for_ann(sf_dir), k=5)
+
+
 def q_decontam(sf_dir: str):
     """Benchmark decontamination (LLM-data hygiene): documents whose
     whitespace-8-gram sets overlap a 'benchmark' set — here the docs
@@ -1629,6 +1641,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "langid": q_langid,
     "quality": q_quality,
     "quality_bp": q_quality_bp,

@@ -303,3 +303,35 @@ def test_list_column_to_numpy_zero_copy_paths():
     ragged = pa.array([[1.0, 2.0], [3.0]])
     with pytest.raises(ValueError):
         list_column_to_numpy(ragged)
+
+
+def test_ann_pq_recall_and_code_determinism(ray_session):
+    import ray.data
+    from imgray.ops.ann import cosine_topk, pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((300, 64))
+    items = [{"vec_id": i, "embedding": v.tolist()}
+             for i, v in enumerate(vecs)]
+    ds = ray.data.from_items(items)
+    books = pq_train(ds, m=8, ksub=16, sample_size=300)
+    assert books.shape == (8, 16, 8)
+
+    q = rng.standard_normal((4, 64))
+    exact = cosine_topk(ds, q, k=10).to_pylist()
+    approx = pq_topk(ds, books, q, k=10).to_pylist()
+    recalls = []
+    for qi in range(4):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.7  # ADC prune + exact rerank
+
+    # codes: m bytes per vector, block-order invariant
+    codes = {r["vec_id"]: r["code"] for r in
+             pq_encode(ds, books).take_all()}
+    assert all(len(c) == 8 for c in codes.values())
+    ds2 = ray.data.from_items(list(reversed(items))).repartition(7)
+    codes2 = {r["vec_id"]: r["code"] for r in
+              pq_encode(ds2, books).take_all()}
+    assert codes == codes2
