@@ -350,3 +350,90 @@ def pq_topk(ds, books: np.ndarray, queries: np.ndarray, k: int = 10,
                      "rank": pa.array(out["rank"], type=pa.int64()),
                      "vec_id": pa.array(out["vec_id"], type=pa.int64()),
                      "cos": pa.array(out["cos"], type=pa.float64())})
+
+
+def ivfpq_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
+               nprobe: int = 3, m: int = 8, ksub: int = 16,
+               rerank: int = 4, vec_col: str = "embedding",
+               id_col: str = "vec_id", sample_size: int = 2048):
+    """IVF + PQ composition — the production-shaped ANN index: coarse
+    centroids prune each block to the ``nprobe`` probed lists per
+    query (IVF), then the survivors are scored with O(m) ADC lookups
+    and the short candidate list re-scored exactly (PQ + rerank).
+    Both the centroid sample and the codebooks come from the same
+    deterministic lowest-hash sample, so results are block-order
+    invariant.  At 100 TB the scan touches ``nprobe/nlist`` of the
+    corpus and reads m-byte codes instead of raw vectors."""
+    import heapq
+
+    sample = _normalize(_det_hash_sample(ds, sample_size, vec_col,
+                                         id_col))
+    if not len(sample):
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
+    cent = _normalize(kmeans_lite(sample, nlist))
+    dim = sample.shape[1]
+    assert dim % m == 0
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        books[s] = kmeans_lite(sample[:, s * dsub:(s + 1) * dsub],
+                               ksub, iters=8, seed=42 + s)
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    lut = np.einsum("qsd,scd->qsc", q.reshape(len(q), m, dsub), books)
+    refs = ray.put((cent, books, lut, q,
+                    [set(p.tolist()) for p in probe]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cent_, books_, lut_, q_, probes_ = ray.get(refs)
+        vecs = _normalize(list_column_to_numpy(batch.column(vec_col)))
+        ids = (batch.column(id_col).combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64,
+                                                      copy=False))
+        assign = (vecs @ cent_.T).argmax(1)
+        codes = _pq_assign(vecs, books_)
+        rows = {"query_id": [], "vec_id": [], "cos": []}
+        mm = books_.shape[0]
+        for qi in range(len(q_)):
+            mask = np.isin(assign, list(probes_[qi]))
+            if not mask.any():
+                continue
+            sc = lut_[qi][np.arange(mm)[None, :], codes[mask]].sum(1)
+            sub_ids = ids[mask]
+            sub_vecs = vecs[mask]
+            cand = min(k * rerank, len(sub_ids))
+            idx = np.argpartition(-sc, cand - 1)[:cand]
+            exact = q_[qi] @ sub_vecs[idx].T
+            kk = min(k, cand)
+            keep = idx[np.argpartition(-exact, kk - 1)[:kk]]
+            rows["query_id"] += [qi] * kk
+            rows["vec_id"] += [int(i) for i in sub_ids[keep]]
+            rows["cos"] += [float(q_[qi] @ sub_vecs[j]) for j in keep]
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], type=pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+            "cos": pa.array(rows["cos"], type=pa.float64())})
+
+    tbls = [t for t in (ray.get(r) for r in
+                        ds.map_batches(partial, batch_format="pyarrow")
+                        .to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tbls) if tbls else None
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
+    rows = t.to_pylist() if t is not None else []
+    for qi in range(len(q)):
+        cand = [(-r["cos"], r["vec_id"]) for r in rows
+                if r["query_id"] == qi]
+        top = heapq.nsmallest(k, cand)
+        for rank, (nc, vid) in enumerate(top):
+            out["query_id"].append(qi)
+            out["rank"].append(rank)
+            out["vec_id"].append(vid)
+            out["cos"].append(round(-nc, 6))
+    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
+                     "rank": pa.array(out["rank"], type=pa.int64()),
+                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                     "cos": pa.array(out["cos"], type=pa.float64())})

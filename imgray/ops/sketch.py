@@ -135,3 +135,43 @@ def cms_count(ds, text_col: str, probes: list[str]) -> "pa.Table":
             for p in probes]
     return pa.table({"p": pa.array(probes),
                      "est": pa.array(ests, type=pa.int64())})
+
+
+def hll_count_grouped(ds, group_col: str, key_col: str) -> "pa.Table":
+    """Approximate COUNT(DISTINCT key) per group for a LOW-cardinality
+    group column — one streaming pass; each block emits one
+    4096-byte register partial PER GROUP PRESENT IN THE BLOCK,
+    max-combined per group on the driver.  Same md5/exact-integer
+    construction as :func:`hll_count`, so a DuckDB oracle reproduces
+    every per-group estimate bit-for-bit."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (pa.table({group_col: batch.column(group_col),
+                       key_col: batch.column(key_col)})
+             .group_by([group_col, key_col]).aggregate([]))
+        groups: dict = {}
+        for g, k in zip(t.column(group_col).to_pylist(),
+                        t.column(key_col).to_pylist()):
+            groups.setdefault(g, []).append(k)
+        gs, regs = [], []
+        for g, keys in groups.items():
+            gs.append(g)
+            regs.append(hll_registers(keys).tobytes())
+        return pa.table({"g": pa.array(gs),
+                         "regs": pa.array(regs, type=pa.binary())})
+
+    totals: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for g, raw in zip(t.column("g").to_pylist(),
+                          t.column("regs").to_pylist()):
+            cur = totals.setdefault(g, np.zeros(M, dtype=np.uint8))
+            np.maximum(cur, np.frombuffer(raw, dtype=np.uint8),
+                       out=cur)
+    gs = sorted(totals)
+    return pa.table({
+        group_col: pa.array(gs),
+        "n_approx": pa.array([hll_estimate(totals[g]) for g in gs],
+                             type=pa.int64()),
+    })

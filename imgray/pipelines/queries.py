@@ -417,6 +417,18 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, _queries_for_ann(sf_dir), k=5, nlist=8, nprobe=3)
 
 
+def q_ann_ivfpq(sf_dir: str):
+    """Rows-only: the IVF+PQ composition — coarse-centroid pruning to
+    nprobe lists, then O(m) ADC lookups + exact rerank on the
+    survivors; the production-shaped compressed index.  Recall pinned
+    by tests/test_ops.py."""
+    from ..ops.ann import ivfpq_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivfpq_topk(ds, _queries_for_ann(sf_dir), k=5, nlist=8,
+                      nprobe=3)
+
+
 def q_ann_pq(sf_dir: str):
     """Rows-only: product-quantization ANN (8-byte codes + ADC lookup
     scan + exact rerank) — the compressed-index scale path for
@@ -761,6 +773,17 @@ def q_cms_term_counts(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     return cms_count(ds, "text", ["the", "data", "of", "zzzz"])
+
+
+def q_type_distinct_users(sf_dir: str):
+    """Grouped HyperLogLog: approximate distinct users PER EVENT TYPE
+    — one 4096-byte register partial per (block, group), max-combined;
+    the oracle reproduces every per-group estimate bit-for-bit via the
+    same md5/exact-integer construction as approx_distinct_orders."""
+    from ..ops.sketch import hll_count_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_count_grouped(ds, "event_type", "user_id")
 
 
 def q_label_centroids(sf_dir: str):
@@ -1632,6 +1655,7 @@ QUERIES = {
     "user_event_paths": q_user_event_paths,
     "cms_term_counts": q_cms_term_counts,
     "label_centroids": q_label_centroids,
+    "type_distinct_users": q_type_distinct_users,
     "fingerprint": q_fingerprint,
     "daily_active_users": q_daily_active_users,
     "event_gaps": q_event_gaps,
@@ -1642,6 +1666,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     "langid": q_langid,
     "quality": q_quality,
     "quality_bp": q_quality_bp,
@@ -2093,6 +2118,39 @@ ORACLE_SQL = {
               AND l_shipdate > DATE '1998-06-01'
         GROUP BY l_orderkey, o_day
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "type_distinct_users": """
+        WITH v AS (SELECT DISTINCT event_type,
+                          CAST(user_id AS VARCHAR) AS s FROM events),
+        h AS (SELECT event_type,
+                     CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT)
+                         AS h FROM v),
+        r AS (SELECT event_type, CAST(h >> 52 AS INTEGER) AS reg,
+                     CASE WHEN (h & ((CAST(1 AS UBIGINT) << 52) - 1)) = 0
+                          THEN 53
+                          ELSE 52 - length(ltrim(bin(
+                               h & ((CAST(1 AS UBIGINT) << 52) - 1)),
+                               '0')) + 1
+                     END AS rho
+              FROM h),
+        g AS (SELECT event_type, reg, max(rho) AS mr
+              FROM r GROUP BY event_type, reg),
+        agg AS (SELECT event_type,
+                       sum(CAST(1 AS HUGEINT) << (53 - mr)) AS sp,
+                       count(*) AS nr
+                FROM g GROUP BY event_type),
+        est AS (SELECT event_type,
+                       sp + (4096 - nr) * (CAST(1 AS HUGEINT) << 53) AS S,
+                       4096 - nr AS V
+                FROM agg)
+        SELECT event_type, CAST(floor(CASE
+            WHEN (0.7213/(1+1.079/4096)) * 4096 * 4096
+                 * 9007199254740992.0 / CAST(S AS DOUBLE) <= 2.5*4096
+                 AND V > 0
+            THEN 4096 * ln(4096.0 / V)
+            ELSE (0.7213/(1+1.079/4096)) * 4096 * 4096
+                 * 9007199254740992.0 / CAST(S AS DOUBLE)
+            END + 0.5) AS BIGINT) AS n_approx
+        FROM est""",
     "label_centroids": """
         SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS idx,
                CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)

@@ -335,3 +335,24 @@ def test_ann_pq_recall_and_code_determinism(ray_session):
     codes2 = {r["vec_id"]: r["code"] for r in
               pq_encode(ds2, books).take_all()}
     assert codes == codes2
+
+
+def test_ann_ivfpq_recall(ray_session):
+    import ray.data
+    from imgray.ops.ann import cosine_topk, ivfpq_topk
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((300, 64))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)])
+    q = rng.standard_normal((4, 64))
+    exact = cosine_topk(ds, q, k=10).to_pylist()
+    approx = ivfpq_topk(ds, q, k=10, nlist=8, nprobe=4,
+                        sample_size=300).to_pylist()
+    recalls = []
+    for qi in range(4):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        recalls.append(len(e & a) / len(e))
+    # both prunings stack: bounded by IVF's nprobe recall
+    assert np.mean(recalls) >= 0.4
