@@ -49,6 +49,31 @@ _PARTIAL_SCHEMA = pa.schema([("query_id", pa.int64()),
                              ("cos", pa.float64())])
 
 
+def _merge_topk(part_ds, nq: int, k: int) -> pa.Table:
+    """Driver-side merge of per-block partial top-ks: keep only blocks
+    matching the partial schema (a mismatched block is skipped, not
+    concatenated), then per query take k by (cos DESC, vec_id ASC) on
+    UNROUNDED cos and round to 6 places — the ONE tie-break/rounding
+    contract all four ANN variants and their oracles share."""
+    tbls = [t for t in (ray.get(r) for r in part_ds.to_arrow_refs())
+            if t.num_rows and t.schema.names == _PARTIAL_SCHEMA.names]
+    t = pa.concat_tables(tbls) if tbls else _PARTIAL_SCHEMA.empty_table()
+    rows = t.to_pylist()
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
+    for qi in range(nq):
+        cand = [(-r["cos"], r["vec_id"]) for r in rows
+                if r["query_id"] == qi]
+        for rank, (nc, vid) in enumerate(heapq.nsmallest(k, cand)):
+            out["query_id"].append(qi)
+            out["rank"].append(rank)
+            out["vec_id"].append(vid)
+            out["cos"].append(round(-nc, 6))
+    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
+                     "rank": pa.array(out["rank"], type=pa.int64()),
+                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+                     "cos": pa.array(out["cos"], type=pa.float64())})
+
+
 def cosine_topk(ds, queries: np.ndarray, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id"):
     """Exact top-k by cosine per query row.  Returns pa.Table
@@ -77,27 +102,7 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10,
                          "cos": pa.array(rows["cos"], type=pa.float64())})
 
     part = ds.map_batches(partial_topk, batch_format="pyarrow")
-    tbls = [t for t in (ray.get(r) for r in part.to_arrow_refs())
-            if t.num_rows and t.schema.names == _PARTIAL_SCHEMA.names]
-    t = (pa.concat_tables(tbls) if tbls else _PARTIAL_SCHEMA.empty_table())
-    # driver-side merge of partial top-ks (nq × k × blocks rows — tiny)
-    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
-    rows = t.to_pylist()
-    for qi in range(q.shape[0]):
-        # rank by (cos DESC, vec_id ASC) on UNROUNDED cos — the same
-        # deterministic tie-break the SQL oracle uses
-        cand = [(-r["cos"], r["vec_id"]) for r in rows
-                if r["query_id"] == qi]
-        top = [(-nc, vid) for nc, vid in heapq.nsmallest(k, cand)]
-        for rank, (c, vid) in enumerate(top):
-            out["query_id"].append(qi)
-            out["rank"].append(rank)
-            out["vec_id"].append(vid)
-            out["cos"].append(round(c, 6))
-    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
-                     "rank": pa.array(out["rank"], type=pa.int64()),
-                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-                     "cos": pa.array(out["cos"], type=pa.float64())})
+    return _merge_topk(part, q.shape[0], k)
 
 
 def kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 10,
@@ -124,32 +129,11 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
     values — no ``limit()`` prefix anywhere, so the sample (and hence
     the centroids) is invariant under block reordering (VERDICT r2 #5,
     #7); probe only nprobe lists per query."""
-    total = ds.count()
-    if not total:
+    sample = _det_hash_sample(ds, sample_size, vec_col, id_col)
+    if not sample.size:
         return _PARTIAL_SCHEMA.empty_table().append_column(
             "rank", pa.array([], type=pa.int64()))
-    rate = min(1.0, 1.2 * sample_size / total)
-    cut = np.uint64(int(rate * (1 << 32)))
-
-    def hash_sample(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(
-            zero_copy_only=False).astype(np.uint64)
-        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
-        keep = h < cut
-        return (batch.filter(pa.array(keep))
-                .append_column("_h", pa.array(h[keep].astype(np.int64),
-                                              type=pa.int64())))
-
-    sample_rows = (ds.map_batches(hash_sample, batch_format="pyarrow")
-                   .take_all())
-    if not sample_rows:
-        return _PARTIAL_SCHEMA.empty_table().append_column(
-            "rank", pa.array([], type=pa.int64()))
-    # deterministic final cut: sample_size lowest hashes (ties by id)
-    sample_rows.sort(key=lambda r: (r["_h"], r[id_col]))
-    sample_rows = sample_rows[:sample_size]
-    sample = _normalize(np.array([r[vec_col] for r in sample_rows],
-                                 dtype=np.float64))
+    sample = _normalize(sample)
     cent = _normalize(kmeans_lite(sample, nlist))
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -184,24 +168,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
                          "cos": pa.array(rows["cos"], type=pa.float64())})
 
     part = ds.map_batches(partial, batch_format="pyarrow")
-    tbls = [t for t in (ray.get(r) for r in part.to_arrow_refs())
-            if t.num_rows and t.schema.names == _PARTIAL_SCHEMA.names]
-    t = (pa.concat_tables(tbls) if tbls else _PARTIAL_SCHEMA.empty_table())
-    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
-    rows = t.to_pylist()
-    for qi in range(q.shape[0]):
-        cand = [(-r["cos"], r["vec_id"]) for r in rows
-                if r["query_id"] == qi]
-        top = [(-nc, vid) for nc, vid in heapq.nsmallest(k, cand)]
-        for rank, (c, vid) in enumerate(top):
-            out["query_id"].append(qi)
-            out["rank"].append(rank)
-            out["vec_id"].append(vid)
-            out["cos"].append(round(c, 6))
-    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
-                     "rank": pa.array(out["rank"], type=pa.int64()),
-                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-                     "cos": pa.array(out["cos"], type=pa.float64())})
+    return _merge_topk(part, q.shape[0], k)
 
 
 # ------------------------------------------------- product quantization
@@ -230,6 +197,25 @@ def _det_hash_sample(ds, sample_size: int, vec_col: str, id_col: str):
     return np.array([r[vec_col] for r in rows], dtype=np.float64)
 
 
+def _train_books(sample: np.ndarray, m: int, ksub: int,
+                 iters: int = 8) -> np.ndarray:
+    """Codebooks from a NORMALIZED sample; a sample smaller than
+    ``ksub`` simply yields fewer centroids per subspace (codebook
+    shape (m, min(ksub, n), dim/m)) instead of a broadcast crash."""
+    if not sample.size:
+        raise ValueError("cannot train PQ codebooks on an empty sample")
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} does not divide into {m} subspaces")
+    dsub = dim // m
+    keff = min(ksub, len(sample))
+    books = np.zeros((m, keff, dsub))
+    for s in range(m):
+        books[s] = kmeans_lite(sample[:, s * dsub:(s + 1) * dsub],
+                               keff, iters=iters, seed=42 + s)
+    return books
+
+
 def pq_train(ds, m: int = 8, ksub: int = 16, iters: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id",
              sample_size: int = 2048) -> np.ndarray:
@@ -242,14 +228,7 @@ def pq_train(ds, m: int = 8, ksub: int = 16, iters: int = 8,
     corpus index fits in memory where raw vectors cannot."""
     sample = _normalize(_det_hash_sample(ds, sample_size, vec_col,
                                          id_col))
-    dim = sample.shape[1]
-    assert dim % m == 0, "dim must divide into m subspaces"
-    dsub = dim // m
-    books = np.zeros((m, ksub, dsub))
-    for s in range(m):
-        books[s] = kmeans_lite(sample[:, s * dsub:(s + 1) * dsub],
-                               ksub, iters=iters, seed=42 + s)
-    return books
+    return _train_books(sample, m, ksub, iters=iters)
 
 
 def _pq_assign(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -295,25 +274,20 @@ def pq_topk(ds, books: np.ndarray, queries: np.ndarray, k: int = 10,
     (the standard ADC+rerank design), and emits a per-block partial
     top-k; tiny driver merge.  ``rerank=1`` is pure ADC.  Ranks
     tie-break (score DESC, vec_id)."""
-    import heapq
-
     q = _normalize(np.asarray(queries, dtype=np.float64))
     m, ksub, dsub = books.shape
     # LUT[qi, s, c] = q_sub . centroid
     lut = np.einsum("qsd,scd->qsc", q.reshape(len(q), m, dsub), books)
-    books_ref = ray.put(books)
-    lut_ref = ray.put(lut)
+    refs = ray.put((books, lut, q))  # ONE broadcast, no closure capture
 
     def partial(batch: pa.Table) -> pa.Table:
-        b = ray.get(books_ref)
-        L = ray.get(lut_ref)
+        b, L, qn = ray.get(refs)
         vecs = _normalize(list_column_to_numpy(batch.column(vec_col)))
         ids = (batch.column(id_col).combine_chunks()
                .to_numpy(zero_copy_only=False).astype(np.int64,
                                                       copy=False))
         codes = _pq_assign(vecs, b)          # (n, m)
         rows = {"query_id": [], "vec_id": [], "cos": []}
-        qn = _normalize(np.asarray(queries, dtype=np.float64))
         for qi in range(L.shape[0]):
             # score = sum over subspaces of LUT[qi, s, code]
             sc = L[qi][np.arange(m)[None, :], codes].sum(1)
@@ -331,25 +305,8 @@ def pq_topk(ds, books: np.ndarray, queries: np.ndarray, k: int = 10,
             "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
             "cos": pa.array(rows["cos"], type=pa.float64())})
 
-    tbls = [t for t in (ray.get(r) for r in
-                        ds.map_batches(partial, batch_format="pyarrow")
-                        .to_arrow_refs()) if t.num_rows]
-    t = pa.concat_tables(tbls) if tbls else None
-    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
-    rows = t.to_pylist() if t is not None else []
-    for qi in range(len(q)):
-        cand = [(-r["cos"], r["vec_id"]) for r in rows
-                if r["query_id"] == qi]
-        top = heapq.nsmallest(k, cand)
-        for rank, (nc, vid) in enumerate(top):
-            out["query_id"].append(qi)
-            out["rank"].append(rank)
-            out["vec_id"].append(vid)
-            out["cos"].append(round(-nc, 6))
-    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
-                     "rank": pa.array(out["rank"], type=pa.int64()),
-                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-                     "cos": pa.array(out["cos"], type=pa.float64())})
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return _merge_topk(part, len(q), k)
 
 
 def ivfpq_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
@@ -364,8 +321,6 @@ def ivfpq_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
     deterministic lowest-hash sample, so results are block-order
     invariant.  At 100 TB the scan touches ``nprobe/nlist`` of the
     corpus and reads m-byte codes instead of raw vectors."""
-    import heapq
-
     sample = _normalize(_det_hash_sample(ds, sample_size, vec_col,
                                          id_col))
     if not len(sample):
@@ -374,13 +329,8 @@ def ivfpq_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
                          "vec_id": pa.array([], type=pa.int64()),
                          "cos": pa.array([], type=pa.float64())})
     cent = _normalize(kmeans_lite(sample, nlist))
-    dim = sample.shape[1]
-    assert dim % m == 0
-    dsub = dim // m
-    books = np.zeros((m, ksub, dsub))
-    for s in range(m):
-        books[s] = kmeans_lite(sample[:, s * dsub:(s + 1) * dsub],
-                               ksub, iters=8, seed=42 + s)
+    books = _train_books(sample, m, ksub)
+    dsub = books.shape[2]
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
@@ -418,22 +368,5 @@ def ivfpq_topk(ds, queries: np.ndarray, k: int = 10, nlist: int = 8,
             "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
             "cos": pa.array(rows["cos"], type=pa.float64())})
 
-    tbls = [t for t in (ray.get(r) for r in
-                        ds.map_batches(partial, batch_format="pyarrow")
-                        .to_arrow_refs()) if t.num_rows]
-    t = pa.concat_tables(tbls) if tbls else None
-    out = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
-    rows = t.to_pylist() if t is not None else []
-    for qi in range(len(q)):
-        cand = [(-r["cos"], r["vec_id"]) for r in rows
-                if r["query_id"] == qi]
-        top = heapq.nsmallest(k, cand)
-        for rank, (nc, vid) in enumerate(top):
-            out["query_id"].append(qi)
-            out["rank"].append(rank)
-            out["vec_id"].append(vid)
-            out["cos"].append(round(-nc, 6))
-    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
-                     "rank": pa.array(out["rank"], type=pa.int64()),
-                     "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-                     "cos": pa.array(out["cos"], type=pa.float64())})
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return _merge_topk(part, len(q), k)

@@ -67,7 +67,9 @@ def hll_count(ds, col: str) -> int:
     pass, one 4096-byte partial per block, elementwise-max combine."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        u = pc.unique(batch.column(col))
+        # nulls are dropped, matching SQL COUNT(DISTINCT) (str(None)
+        # would otherwise hash as a real value the oracle never sees)
+        u = pc.drop_null(pc.unique(batch.column(col)))
         regs = hll_registers(u.to_pylist())
         return pa.table({"regs": pa.array([regs.tobytes()],
                                           type=pa.binary())})
@@ -146,6 +148,9 @@ def hll_count_grouped(ds, group_col: str, key_col: str) -> "pa.Table":
     every per-group estimate bit-for-bit."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null KEYS are dropped (SQL COUNT(DISTINCT) semantics); null
+        # GROUPS are kept, like SQL GROUP BY
+        batch = batch.filter(pc.is_valid(batch.column(key_col)))
         t = (pa.table({group_col: batch.column(group_col),
                        key_col: batch.column(key_col)})
              .group_by([group_col, key_col]).aggregate([]))
@@ -169,7 +174,7 @@ def hll_count_grouped(ds, group_col: str, key_col: str) -> "pa.Table":
             cur = totals.setdefault(g, np.zeros(M, dtype=np.uint8))
             np.maximum(cur, np.frombuffer(raw, dtype=np.uint8),
                        out=cur)
-    gs = sorted(totals)
+    gs = sorted(totals, key=lambda g: (g is None, str(g)))
     return pa.table({
         group_col: pa.array(gs),
         "n_approx": pa.array([hll_estimate(totals[g]) for g in gs],

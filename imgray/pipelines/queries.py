@@ -2120,7 +2120,8 @@ ORACLE_SQL = {
         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
     "type_distinct_users": """
         WITH v AS (SELECT DISTINCT event_type,
-                          CAST(user_id AS VARCHAR) AS s FROM events),
+                          CAST(user_id AS VARCHAR) AS s FROM events
+                   WHERE user_id IS NOT NULL),
         h AS (SELECT event_type,
                      CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT)
                          AS h FROM v),
@@ -2275,7 +2276,7 @@ ORACLE_SQL = {
         FROM allf""",
     "approx_distinct_orders": """
         WITH v AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS s
-                   FROM orders),
+                   FROM orders WHERE o_orderkey IS NOT NULL),
         h AS (SELECT CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT)
                      AS h FROM v),
         r AS (SELECT CAST(h >> 52 AS INTEGER) AS reg,
