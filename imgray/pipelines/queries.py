@@ -936,6 +936,102 @@ def q_lineitem_profile(sf_dir: str):
     })
 
 
+def q_qty_discount_corr(sf_dir: str):
+    """Statistical aggregate: Pearson correlation of quantity vs
+    discount over lineitem from EXACT integer moment sums (n, Σx, Σy,
+    Σx², Σy², Σxy — one small partial row per block, summed as
+    unbounded Python ints), with the one float tail (two casts, a
+    sqrt, a division, half-away ppm rounding) written identically in
+    the SQL oracle so the result hash-matches bit-for-bit.  Small
+    integer domains keep every per-block sum far inside int64 at any
+    scale."""
+    import math
+
+    ds = _read_sized(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("l_quantity"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = _cents(b.column("l_discount")).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+        })
+
+    t = _collect(ds.map_batches(moments, batch_format="pyarrow"))
+    n = sum(t.column("n").to_pylist())
+    sx = sum(t.column("sx").to_pylist())
+    sy = sum(t.column("sy").to_pylist())
+    sxx = sum(t.column("sxx").to_pylist())
+    syy = sum(t.column("syy").to_pylist())
+    sxy = sum(t.column("sxy").to_pylist())
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    corr = num / den
+    ppm = (math.floor(corr * 1e6 + 0.5) if corr >= 0
+           else math.ceil(corr * 1e6 - 0.5))
+    return pa.table({"corr_ppm": pa.array([ppm], type=pa.int64())})
+
+
+def q_price_rank_in_priority(sf_dir: str):
+    """RANK() window function at scale: the rank of every 97th order's
+    price within its priority group, computed WITHOUT materializing or
+    sorting any group — rank = 1 + count(cents strictly smaller in
+    group), so the probe rows are collected once (tiny), broadcast,
+    and ONE streaming pass emits per-block smaller-than counts per
+    probe (vectorized searchsorted per (block, group)); the driver
+    sums the partials.  Ties get the minimum rank, exactly SQL
+    RANK()."""
+    ds = _read_sized(sf_dir, "orders",
+                     ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(keys % 97 == 0))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "prio": t.column("o_orderpriority"),
+            "cents": _cents(t.column("o_totalprice")),
+        })
+
+    probes = _collect(ds.map_batches(probe_rows,
+                                     batch_format="pyarrow"))
+    pk = probes.column("o_orderkey").to_numpy(zero_copy_only=False)
+    pprio = np.array(probes.column("prio").to_pylist())
+    pcents = probes.column("cents").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    probes_ref = ray.put((pk[order], pprio[order], pcents[order]))
+
+    def count_smaller(b: pa.Table) -> pa.Table:
+        _, prio_p, cents_p = ray.get(probes_ref)
+        prio = np.array(b.column("o_orderpriority").to_pylist())
+        cents = _cents(b.column("o_totalprice")).to_numpy(
+            zero_copy_only=False)
+        counts = np.zeros(len(prio_p), dtype=np.int64)
+        for g in np.unique(prio):
+            vals = np.sort(cents[prio == g])
+            sel = prio_p == g
+            counts[sel] = np.searchsorted(vals, cents_p[sel],
+                                          side="left")
+        return pa.table({"c": pa.array([counts.tobytes()],
+                                       type=pa.binary())})
+
+    total = np.zeros(len(pk), dtype=np.int64)
+    for b in ds.map_batches(count_smaller, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for raw in pa.table(b).column("c").to_pylist():
+            total += np.frombuffer(raw, dtype=np.int64)
+    return pa.table({
+        "o_orderkey": pa.array(pk[order], type=pa.int64()),
+        "rnk": pa.array(total + 1, type=pa.int64()),
+    })
+
+
 def q_priority_price_quantiles(sf_dir: str):
     """Grouped exact quantiles: median and p90 order price per order
     priority — every open (group, q) bracket shares each streaming
@@ -1650,6 +1746,8 @@ QUERIES = {
     "order_bulk_counts": q_order_bulk_counts,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
+    "price_rank_in_priority": q_price_rank_in_priority,
+    "qty_discount_corr": q_qty_discount_corr,
     "lineitem_profile": q_lineitem_profile,
     "props_k_stats": q_props_k_stats,
     "user_event_paths": q_user_event_paths,
@@ -2232,6 +2330,29 @@ ORACLE_SQL = {
                sum(CAST(round(l_tax*100) AS BIGINT)),
                count(*), count(*) - count(l_tax)
         FROM lineitem""",
+    "qty_discount_corr": """
+        WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                          CAST(round(l_discount*100) AS BIGINT) AS y
+                   FROM lineitem),
+        s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x*x) AS HUGEINT) AS sxx,
+                     CAST(sum(y*y) AS HUGEINT) AS syy,
+                     CAST(sum(x*y) AS HUGEINT) AS sxy
+              FROM v)
+        SELECT CAST(round(
+            CAST(n*sxy - sx*sy AS DOUBLE)
+            / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                   * CAST(n*syy - sy*sy AS DOUBLE))
+            * 1000000) AS BIGINT) AS corr_ppm
+        FROM s""",
+    "price_rank_in_priority": """
+        SELECT o_orderkey,
+               CAST(rank() OVER (PARTITION BY o_orderpriority
+                     ORDER BY CAST(round(o_totalprice*100) AS BIGINT))
+                    AS BIGINT) AS rnk
+        FROM orders QUALIFY o_orderkey % 97 = 0""",
     "priority_price_quantiles": """
         WITH v AS (SELECT o_orderpriority AS grp,
                           CAST(round(o_totalprice*100) AS BIGINT) AS c
