@@ -99,6 +99,62 @@ def _semi_anti(left_ds, right_ds, key: str, payload_cols: list[str],
     return coarse_partition_groups(tagged, key, combine, num_partitions)
 
 
+def intersect_keys(a_ds, b_ds, key: str, num_partitions: int = 64):
+    """SQL ``INTERSECT`` over one key column: distinct keys present in
+    BOTH inputs.  Same one-exchange topology as the semi/anti joins —
+    each side is reduced to per-block-distinct keys before the
+    shuffle, so only distinct values cross the wire."""
+    return _set_op(a_ds, b_ds, key, num_partitions, op="intersect")
+
+
+def except_keys(a_ds, b_ds, key: str, num_partitions: int = 64):
+    """SQL ``EXCEPT``: distinct keys of ``a_ds`` absent from
+    ``b_ds``."""
+    return _set_op(a_ds, b_ds, key, num_partitions, op="except")
+
+
+def _set_op(a_ds, b_ds, key: str, num_partitions: int, op: str):
+    # SQL set-op semantics: NULL compares equal to NULL (IS NOT
+    # DISTINCT FROM), unlike join keys — handled explicitly below
+    # because pc.is_in's null matching differs.
+
+    def distinct_tagged(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = pc.unique(batch.column(key))
+            return pa.table({
+                key: keys,
+                "_r": pa.array(np.full(len(keys), side, dtype=np.int8)),
+            })
+        return f
+
+    tagged = (a_ds.map_batches(distinct_tagged(0), batch_format="pyarrow")
+              .union(b_ds.map_batches(distinct_tagged(1),
+                                      batch_format="pyarrow")))
+
+    def combine(part: pa.Table) -> pa.Table:
+        kc = part.column(key)
+        tags = part.column("_r")
+        a_keys = pc.unique(pc.filter(kc, pc.equal(tags, 0)))
+        b_keys = pc.unique(pc.filter(kc, pc.equal(tags, 1)))
+        a_null = a_keys.null_count > 0
+        b_null = b_keys.null_count > 0
+        a_vals = a_keys.drop_null()
+        in_b = pc.is_in(a_vals, value_set=b_keys.drop_null())
+        if op == "intersect":
+            out = a_vals.filter(in_b)
+            keep_null = a_null and b_null
+        else:
+            out = a_vals.filter(pc.invert(in_b))
+            keep_null = a_null and not b_null
+        if keep_null:
+            out = pa.concat_arrays(
+                [out.combine_chunks() if isinstance(out, pa.ChunkedArray)
+                 else out, pa.nulls(1, type=kc.type)])
+        return pa.table({key: out})
+
+    return coarse_partition_groups(tagged, key, combine, num_partitions)
+
+
 # ------------------------------------------------------- bloom filter
 
 _BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
@@ -175,8 +231,13 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
               how: str = "inner", bloom_from: str | None = None,
               post_join=None):
     """Equi-join of two LARGE datasets — neither side broadcast.
-    ``how`` is ``"inner"`` or ``"left"`` (left outer: unmatched left
-    rows survive with null right-side columns).
+    ``how`` is ``"inner"``, ``"left"``, ``"right"`` or ``"full"``
+    (outer joins: unmatched rows of the preserved side(s) survive with
+    null columns from the other side; in a full outer join the key
+    column is coalesced across sides, matching SQL's
+    ``COALESCE(l.key, r.key)``).  Null join keys never match — SQL
+    semantics — but null-key rows of a preserved side still surface in
+    the outer variants.
 
     ``post_join`` (optional) is applied to each partition's complete
     joined table INSIDE the partition task.  This is the only sound
@@ -209,7 +270,7 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
     ``left_cols`` / ``right_cols`` must be disjoint payload column
     name sets (the join key is carried once).
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"unsupported join type: {how!r}")
     if bloom_from not in (None, "left", "right"):
         raise ValueError(f"bad bloom_from: {bloom_from!r}")
@@ -217,6 +278,13 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
         raise ValueError(
             "bloom_from='right' would drop unmatched left rows that a "
             "left outer join must keep; use bloom_from='left'")
+    if how == "right" and bloom_from == "left":
+        raise ValueError(
+            "bloom_from='left' would drop unmatched right rows that a "
+            "right outer join must keep; use bloom_from='right'")
+    if how == "full" and bloom_from is not None:
+        raise ValueError("a full outer join preserves both sides; "
+                         "Bloom pre-filtering would drop rows")
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"payload columns appear on both sides: {overlap}")
@@ -265,25 +333,35 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
 
     out_cols = [key] + left_cols + right_cols
 
+    jt = {"inner": "inner", "left": "left outer",
+          "right": "right outer", "full": "full outer"}[how]
+
     def join_partition(part: pa.Table) -> pa.Table:
         side = part.column("_r")
         lt = (part.filter(pc.equal(side, 0))
               .select([key] + left_cols))
         rt = (part.filter(pc.equal(side, 1))
               .select([key] + right_cols))
-        if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
+        keep_l = how in ("left", "full")
+        keep_r = how in ("right", "full")
+        if (lt.num_rows == 0 and not keep_r) or \
+           (rt.num_rows == 0 and not keep_l):
             joined = pa.table(
                 {c: pa.array([], type=(left_types.get(c) or
                                        right_types.get(c) or
                                        lt.schema.field(key).type))
                  for c in out_cols})
-        elif rt.num_rows == 0:  # left outer, nothing to match
+        elif rt.num_rows == 0:  # left/full outer, nothing to match
             for c in right_cols:
                 lt = lt.append_column(
                     c, pa.nulls(lt.num_rows, type=right_types[c]))
             joined = lt.select(out_cols)
+        elif lt.num_rows == 0:  # right/full outer, nothing to match
+            for c in left_cols:
+                rt = rt.append_column(
+                    c, pa.nulls(rt.num_rows, type=left_types[c]))
+            joined = rt.select(out_cols)
         else:
-            jt = "inner" if how == "inner" else "left outer"
             joined = lt.join(rt, keys=key, join_type=jt).select(out_cols)
         return post_join(joined) if post_join is not None else joined
 
@@ -472,8 +550,14 @@ def auto_join(left_ds, right_ds, key: str, left_cols: list[str],
     broadcast batch would change semantics with data size."""
     import ray as _ray
 
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"unsupported join type: {how!r}")
+    if how in ("right", "full"):
+        # the broadcast path joins per LEFT batch, so it can never see
+        # which broadcast-side rows went unmatched — right/full outer
+        # always take the shuffle topology
+        return hash_join(left_ds, right_ds, key, left_cols,
+                         right_cols, how=how, **kw)
     if kw.get("post_join") is not None or kw.get("bloom_from") is not None:
         return hash_join(left_ds, right_ds, key, left_cols,
                          right_cols, how=how, **kw)

@@ -763,6 +763,76 @@ def q_order_bulk_counts(sf_dir: str):
                               how="left", post_join=partition_counts))
 
 
+def q_urgent_building_full(sf_dir: str):
+    """FULL OUTER shuffle hash join (ops.relational.hash_join
+    how="full"): urgent orders vs BUILDING-segment customers on the
+    customer key.  BOTH sides have genuinely unmatched rows — urgent
+    orders from other segments survive with a null customer name, and
+    building customers with no urgent order (39 at sf0.01) survive
+    with a null order key — and duplicate left keys fan out per
+    matching customer.  The key column is coalesced across sides
+    exactly like SQL's COALESCE(l.key, r.key); no Bloom pre-filter is
+    legal here (both sides are preserved), which hash_join enforces."""
+    from ..ops.relational import hash_join
+
+    def urgent(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+        return pa.table({"custkey": t.column("o_custkey"),
+                         "o_orderkey": t.column("o_orderkey")})
+
+    orders = _read_sized(sf_dir, "orders",
+                         ["o_orderkey", "o_custkey", "o_orderpriority"]) \
+        .map_batches(urgent, batch_format="pyarrow")
+
+    def building(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
+        return pa.table({"custkey": t.column("c_custkey"),
+                         "c_name": t.column("c_name")})
+
+    cust = _read_sized(sf_dir, "customer",
+                       ["c_custkey", "c_name", "c_mktsegment"]) \
+        .map_batches(building, batch_format="pyarrow")
+    return _collect(hash_join(orders, cust, "custkey",
+                              ["o_orderkey"], ["c_name"], how="full"))
+
+
+def q_urgent_high_intersect(sf_dir: str):
+    """SQL INTERSECT at scale (ops.relational.intersect_keys):
+    customer keys that placed BOTH an urgent and a high-priority order.
+    Each side sheds to per-block-distinct keys before the single
+    shared hash exchange — only distinct values cross the wire."""
+    from ..ops.relational import intersect_keys
+
+    def keys_of(priority: str):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("o_orderpriority"), priority))
+            return pa.table({"custkey": t.column("o_custkey")})
+        return _read_sized(sf_dir, "orders",
+                           ["o_custkey", "o_orderpriority"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    return _collect(intersect_keys(keys_of("1-URGENT"),
+                                   keys_of("2-HIGH"), "custkey"))
+
+
+def q_urgent_only_custkeys(sf_dir: str):
+    """SQL EXCEPT (ops.relational.except_keys): customer keys with an
+    urgent order but no high-priority order — same topology as
+    INTERSECT, opposite membership mask (177 keys at sf0.01)."""
+    from ..ops.relational import except_keys
+
+    def keys_of(priority: str):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("o_orderpriority"), priority))
+            return pa.table({"custkey": t.column("o_custkey")})
+        return _read_sized(sf_dir, "orders",
+                           ["o_custkey", "o_orderpriority"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    return _collect(except_keys(keys_of("1-URGENT"),
+                                keys_of("2-HIGH"), "custkey"))
+
+
 def q_cms_term_counts(sf_dir: str):
     """Count-Min sketch frequency estimates for probe terms over the
     document corpus — ORACLE-CHECKED like the HLL sketch: counter sums
@@ -1744,6 +1814,9 @@ QUERIES = {
     "q3_shipping": q_q3_shipping,
     "simhash_pairs": q_simhash_pairs,
     "order_bulk_counts": q_order_bulk_counts,
+    "urgent_building_full": q_urgent_building_full,
+    "urgent_high_intersect": q_urgent_high_intersect,
+    "urgent_only_custkeys": q_urgent_only_custkeys,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
     "price_rank_in_priority": q_price_rank_in_priority,
@@ -2431,6 +2504,27 @@ ORACLE_SQL = {
         FROM orders LEFT JOIN lineitem
              ON l_orderkey = o_orderkey AND l_quantity > 45
         GROUP BY o_orderkey""",
+    "urgent_building_full": """
+        SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+               o.o_orderkey, c.c_name
+        FROM (SELECT o_custkey, o_orderkey FROM orders
+              WHERE o_orderpriority = '1-URGENT') o
+        FULL OUTER JOIN
+             (SELECT c_custkey, c_name FROM customer
+              WHERE c_mktsegment = 'BUILDING') c
+        ON o.o_custkey = c.c_custkey""",
+    "urgent_high_intersect": """
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderpriority = '2-HIGH'""",
+    "urgent_only_custkeys": """
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderpriority = '2-HIGH'""",
     "daily_active_users": """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -172,10 +172,134 @@ def test_hash_join_bad_how_rejected(ray_session):
     left = _ds(pa.table({"k": pa.array([1], type=pa.int64()),
                          "v": pa.array([1], type=pa.int64())}))
     try:
-        hash_join(left, left, "k", ["v"], [], how="full")
+        hash_join(left, left, "k", ["v"], [], how="cross")
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_hash_join_right_outer(ray_session):
+    left = pa.table({"k": pa.array([2, 2, 9], type=pa.int64()),
+                     "lv": ["a", "b", "c"]})
+    right = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                      "rv": pa.array([10, 20, 30], type=pa.int64())})
+    rows = _hj(left, right, "k", ["lv"], ["rv"], how="right")
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [
+        (1, None, 10), (2, "a", 20), (2, "b", 20), (3, None, 30)]
+
+
+def test_hash_join_right_outer_empty_left(ray_session):
+    empty = pa.table({"k": pa.array([], type=pa.int64()),
+                      "lv": pa.array([], type=pa.string())})
+    right = pa.table({"k": pa.array([4, 5], type=pa.int64()),
+                      "rv": pa.array([1, 2], type=pa.int64())})
+    rows = _hj(empty, right, "k", ["lv"], ["rv"], how="right")
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [
+        (4, None, 1), (5, None, 2)]
+
+
+def test_hash_join_full_outer(ray_session):
+    left = pa.table({"k": pa.array([1, 2, 2], type=pa.int64()),
+                     "lv": ["a", "b", "c"]})
+    right = pa.table({"k": pa.array([2, 3], type=pa.int64()),
+                      "rv": pa.array([20, 30], type=pa.int64())})
+    rows = _hj(left, right, "k", ["lv"], ["rv"], how="full")
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [
+        (1, "a", None), (2, "b", 20), (2, "c", 20), (3, None, 30)]
+
+
+def test_hash_join_full_outer_null_keys_both_survive(ray_session):
+    # SQL: null keys never MATCH, but null-key rows of a preserved
+    # side still surface unmatched in the outer result
+    left = pa.table({"k": pa.array([None, 1], type=pa.int64()),
+                     "lv": ["a", "b"]})
+    right = pa.table({"k": pa.array([None, 1], type=pa.int64()),
+                      "rv": pa.array([10, 20], type=pa.int64())})
+    rows = _hj(left, right, "k", ["lv"], ["rv"], how="full")
+    null_rows = sorted(((r["lv"], r["rv"]) for r in rows
+                        if r["k"] is None), key=lambda t: str(t))
+    assert null_rows == [("a", None), (None, 10)]
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows
+            if r["k"] is not None] == [(1, "b", 20)]
+
+
+def test_hash_join_outer_bloom_soundness_rejected(ray_session):
+    from imgray.ops.relational import hash_join
+
+    ds = _ds(pa.table({"k": pa.array([1], type=pa.int64()),
+                       "v": pa.array([1], type=pa.int64())}))
+    for how, bloom in (("right", "left"), ("full", "left"),
+                       ("full", "right")):
+        try:
+            hash_join(ds, ds, "k", ["v"], [], how=how, bloom_from=bloom)
+            assert False, f"expected ValueError for {how}/{bloom}"
+        except ValueError:
+            pass
+
+
+def test_auto_join_right_full_route_to_shuffle(ray_session):
+    from imgray.ops.relational import auto_join
+
+    left = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                     "lv": ["a", "b"]})
+    right = pa.table({"k": pa.array([2, 3], type=pa.int64()),
+                      "rv": pa.array([20, 30], type=pa.int64())})
+    out = pa.concat_tables(
+        [pa.table(b) for b in
+         auto_join(_ds(left), _ds(right), "k", ["lv"], ["rv"], how="full")
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    rows = sorted(out.to_pylist(), key=lambda r: (r["k"] is None, r["k"]))
+    assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [
+        (1, "a", None), (2, "b", 20), (3, None, 30)]
+
+
+# ------------------------------------------------------- set operations
+
+def _set(fn, a, b, key="k", **kw):
+    tbls = [pa.table(x) for x in fn(_ds(a), _ds(b), key, **kw)
+            .iter_batches(batch_format="pyarrow")]
+    if not tbls:
+        return []
+    out = pa.concat_tables(tbls, promote_options="default")
+    vals = out.column(key).to_pylist()
+    return sorted(vals, key=lambda v: (v is None, str(v)))
+
+
+def test_intersect_keys(ray_session):
+    from imgray.ops.relational import intersect_keys
+
+    a = pa.table({"k": pa.array([1, 1, 2, 3, None], type=pa.int64())})
+    b = pa.table({"k": pa.array([2, 2, 3, 4], type=pa.int64())})
+    assert _set(intersect_keys, a, b) == [2, 3]
+
+
+def test_except_keys(ray_session):
+    from imgray.ops.relational import except_keys
+
+    a = pa.table({"k": pa.array([1, 1, 2, 3], type=pa.int64())})
+    b = pa.table({"k": pa.array([2, 4], type=pa.int64())})
+    assert _set(except_keys, a, b) == [1, 3]
+
+
+def test_set_ops_null_is_a_value(ray_session):
+    # SQL set ops compare with IS NOT DISTINCT FROM: NULL == NULL
+    from imgray.ops.relational import except_keys, intersect_keys
+
+    a = pa.table({"k": pa.array([None, None, 1], type=pa.int64())})
+    b = pa.table({"k": pa.array([None, 2], type=pa.int64())})
+    assert _set(intersect_keys, a, b) == [None]
+    assert _set(except_keys, a, b) == [1]
+    c = pa.table({"k": pa.array([2], type=pa.int64())})
+    assert _set(except_keys, a, c) == [1, None]
+
+
+def test_set_ops_string_keys(ray_session):
+    from imgray.ops.relational import intersect_keys
+
+    a = pa.table({"k": ["x", "y", "y", "z"]})
+    b = pa.table({"k": ["y", "z", "w"]})
+    assert _set(intersect_keys, a, b, num_partitions=4) == ["y", "z"]
 
 
 def test_exact_group_quantiles(ray_session):
