@@ -82,6 +82,67 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
+# ------------------------------------------- SQL-reproducible MinHash mode
+
+_GRAM_SEP = "\x1f"
+
+
+def md5_perm_params(num_perm: int = 64,
+                    seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """(c, d) uint64 constants for the SQL-reproducible permutation
+    family v_i(g) = ((g XOR c_i) * d_i) mod 2^64 (d_i odd, so each map
+    is a bijection of Z_2^64).  numpy uint64 multiplication wraps mod
+    2^64 natively; DuckDB reproduces it exactly as
+    ``CAST(xor(g,c) AS UHUGEINT) * d % 2^128-safe-modulus`` — unlike
+    the default mode's ``(a*x+b) %% (2^61-1)``, whose pre-reduction
+    numpy wrap has no SQL equivalent."""
+    rng = np.random.default_rng(seed)
+    c = rng.integers(0, 1 << 63, num_perm, dtype=np.int64).astype(np.uint64)
+    d = (rng.integers(0, 1 << 63, num_perm, dtype=np.int64)
+         .astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    return c, d
+
+
+_MD5_GRAM_CACHE: dict[str, int] = {}
+
+
+def _md5_gram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """uint64 per word n-gram: md5 of the chr(31)-joined gram string,
+    bit-reproducible in SQL (the simhash64 precedent).  Docs with
+    fewer than n tokens produce NO grams — and therefore no signature
+    and no pairs — matching the oracle's empty generate_series range
+    (the default mode pads with "" instead).  Distinct grams are
+    md5'd once per worker (corpora — and especially near-dup docs —
+    repeat grams heavily)."""
+    toks = _WORD.findall((text or "").lower())
+    m = len(toks) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    cache = _MD5_GRAM_CACHE
+    out = np.empty(m, dtype=np.uint64)
+    for i in range(m):
+        g = _GRAM_SEP.join(toks[i:i + n])
+        h = cache.get(g)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+            if len(cache) < 1 << 20:  # bound worker memory
+                cache[g] = h
+        out[i] = h
+    return out
+
+
+def minhash_signature_md5(text: str, c: np.ndarray,
+                          d: np.ndarray) -> np.ndarray | None:
+    """SQL-reproducible MinHash signature (or None for gram-less
+    docs): min over grams of the xor-multiply permutation values."""
+    g = _md5_gram_hashes(text)
+    if g.size == 0:
+        return None
+    with np.errstate(over="ignore"):
+        vals = (g[None, :] ^ c[:, None]) * d[:, None]
+    return vals.min(axis=1)
+
+
 def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
 
@@ -105,6 +166,8 @@ _PAIR_DIST = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                         ("dist", pa.int64())])
 _PAIR_COS = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                        ("cos", pa.float64())])
+_PAIR_NM = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                      ("nmatch", pa.int64())])
 
 
 
@@ -238,7 +301,8 @@ _CAND = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5, sig_dir: str | None = None):
+                      threshold: float = 0.5, sig_dir: str | None = None,
+                      hash_mode: str = "fast"):
     """Near-dup pairs via banded MinHash LSH.
 
     shingle → minhash (map_batches) → flat band rows → groupby(band
@@ -255,6 +319,17 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     candidate pairs (co-bucketed id pairs) are the same set the old
     in-bucket verify enumerated, just verified after the shuffle
     instead of inside it.
+
+    ``hash_mode="md5"`` switches every hash to a DuckDB-reproducible
+    construction (md5 gram hashes + xor-multiply permutations — see
+    :func:`md5_perm_params`) and the output to integer
+    ``(a, b, nmatch)`` rows with ``nmatch >= ceil(threshold *
+    num_perm)``, so the ENTIRE pipeline — signatures, the 16-band LSH
+    recall condition, and the verify — hash-matches a SQL oracle.
+    Unlike simhash's pigeonhole-complete banding, MinHash banding is
+    probabilistic recall, so the oracle mirrors the band condition
+    (pairs must share one aligned band) rather than the raw
+    similarity predicate.  Same shuffle topology in both modes.
     """
     import os
     import shutil
@@ -263,18 +338,29 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     import pyarrow.parquet as pq
 
-    a, b = _perm_params(num_perm)
+    if hash_mode not in ("fast", "md5"):
+        raise ValueError(f"bad hash_mode: {hash_mode!r}")
+    if hash_mode == "md5":
+        a, b = md5_perm_params(num_perm)
+    else:
+        a, b = _perm_params(num_perm)
     rpb = num_perm // bands
     own_dir = sig_dir is None
     sig_dir = sig_dir or tempfile.mkdtemp(prefix="imgray-minhash-sig-")
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        if hash_mode == "md5":
+            sl = [minhash_signature_md5(t or "", a, b) for t in texts]
+            ids = [i for i, s in zip(ids, sl) if s is not None]
+            sl = [s for s in sl if s is not None]
+        else:
+            sl = [minhash_signature(t or "", a, b) for t in texts]
         if not ids:
             return pa.table({"id": pa.array([], type=pa.int64()),
                              "key": pa.array([], type=pa.int64())})
-        texts = batch.column(text_col).to_pylist()
-        sig_m = np.stack([minhash_signature(t or "", a, b) for t in texts])
+        sig_m = np.stack(sl)
         pq.write_table(
             pa.table({"id": pa.array(ids, type=pa.int64()),
                       "sig": pa.array([s.tobytes() for s in sig_m],
@@ -304,13 +390,14 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"a": pa.array(pa_, type=pa.int64()),
                          "b": pa.array(pb_, type=pa.int64())})
 
+    out_schema = _PAIR_NM if hash_mode == "md5" else _PAIR_SIM
     try:
         cands = _pairs_over_buckets(
             ds.map_batches(sigs, batch_format="pyarrow"),
             "key", bucket_cands, _CAND)
         t = _collect_pairs(cands, _CAND)
         if t.num_rows == 0:
-            return _PAIR_SIM.empty_table()
+            return out_schema.empty_table()
         pairs = sorted({(x, y) for x, y in zip(t.column("a").to_pylist(),
                                                t.column("b").to_pylist())})
         involved = pa.array(sorted({i for p in pairs for i in p}),
@@ -324,6 +411,16 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 sig_map[i_] = np.frombuffer(s_, dtype=np.uint64)
         sig_a = np.stack([sig_map[x] for x, _ in pairs])
         sig_b = np.stack([sig_map[y] for _, y in pairs])
+        if hash_mode == "md5":
+            nmatch = (sig_a == sig_b).sum(axis=1).astype(np.int64)
+            keep = nmatch >= int(np.ceil(threshold * num_perm))
+            return pa.table({
+                "a": pa.array([p[0] for p, k in zip(pairs, keep) if k],
+                              type=pa.int64()),
+                "b": pa.array([p[1] for p, k in zip(pairs, keep) if k],
+                              type=pa.int64()),
+                "nmatch": pa.array(nmatch[keep], type=pa.int64()),
+            })
         sims = (sig_a == sig_b).mean(axis=1)
         keep = sims >= threshold
         return pa.table({

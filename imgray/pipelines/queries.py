@@ -345,6 +345,20 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
+def q_minhash_pairs_md5(sf_dir: str):
+    """MinHash-LSH near-dup pairs, ORACLE-CHECKED end to end: md5
+    gram hashes + xor-multiply permutations are rebuilt bit-for-bit in
+    DuckDB (see _minhash_md5_sql), the 16-band LSH recall condition is
+    mirrored as a SQL band join, and the verify emits the integer
+    signature-match count — the whole pipeline, not just the verify,
+    hash-matches.  Same compact (key, id)-only shuffle topology as the
+    fast default minhash_pairs."""
+    from ..ops.dedup import minhash_lsh_pairs
+
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5, hash_mode="md5")
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs.  ORACLE-CHECKED: with 4×16-bit bands and
     radius 3 the banding is pigeonhole-complete, so the operator's
@@ -1813,6 +1827,7 @@ QUERIES = {
     "dup_components": q_dup_components,
     "q3_shipping": q_q3_shipping,
     "simhash_pairs": q_simhash_pairs,
+    "minhash_pairs_md5": q_minhash_pairs_md5,
     "order_bulk_counts": q_order_bulk_counts,
     "urgent_building_full": q_urgent_building_full,
     "urgent_high_intersect": q_urgent_high_intersect,
@@ -2631,3 +2646,64 @@ def _ann_topk_sql() -> str:
 
 
 ORACLE_SQL["ann_topk"] = _ann_topk_sql()
+
+
+def _minhash_md5_sql(num_perm: int = 64, bands: int = 16,
+                     threshold: float = 0.5) -> str:
+    """MinHash-LSH oracle: rebuilds the ENTIRE pipeline in SQL —
+    md5 word-3-gram hashes, the 64 xor-multiply permutations (the
+    (c, d) constants inlined from ops.dedup.md5_perm_params), per-doc
+    min signatures, the 16-aligned-band recall condition, and the
+    integer match-count verify.  Unlike simhash's pigeonhole-complete
+    banding, MinHash banding is probabilistic recall, so the band
+    condition is PART of the operator's contract and the oracle
+    mirrors it (cand CTE) rather than the raw similarity predicate."""
+    from ..ops.dedup import md5_perm_params
+
+    c, d = md5_perm_params(num_perm)
+    rpb = num_perm // bands
+    nmin = int(np.ceil(threshold * num_perm))
+    perm_rows = ",\n                ".join(
+        f"({i}, CAST({int(c[i])} AS UBIGINT), CAST({int(d[i])} AS UBIGINT))"
+        for i in range(num_perm))
+    return f"""
+        WITH perms(i, c, d) AS (VALUES
+                {perm_rows}),
+        toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+            FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   CAST(('0x' || substr(md5(array_to_string(
+                        list_slice(t, i, i + 2),
+                        chr(31))), 1, 16)) AS UBIGINT) AS g
+            FROM toks, LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(t) - 2, 0))) AS i)),
+        sig AS (
+            SELECT doc_id, p.i,
+                   min(CAST(CAST(xor(g, p.c) AS UHUGEINT) * p.d
+                       % CAST('18446744073709551616' AS UHUGEINT)
+                       AS UBIGINT)) AS s
+            FROM grams, perms p
+            GROUP BY doc_id, p.i),
+        bands AS (
+            SELECT doc_id, i // {rpb} AS bi,
+                   string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS bkey
+            FROM sig GROUP BY doc_id, i // {rpb}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+                 ON x.bi = y.bi AND x.bkey = y.bkey
+                    AND x.doc_id < y.doc_id),
+        nm AS (
+            SELECT c.a, c.b,
+                   CAST(sum(CASE WHEN sx.s = sy.s THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nmatch
+            FROM cand c
+            JOIN sig sx ON sx.doc_id = c.a
+            JOIN sig sy ON sy.doc_id = c.b AND sy.i = sx.i
+            GROUP BY c.a, c.b)
+        SELECT a, b, nmatch FROM nm WHERE nmatch >= {nmin}"""
+
+
+ORACLE_SQL["minhash_pairs_md5"] = _minhash_md5_sql()

@@ -51,6 +51,44 @@ def test_minhash_lsh_finds_neardups(ray_session):
     assert reps == {0}  # one cluster, represented by min id
 
 
+def test_minhash_md5_mode(ray_session):
+    from imgray.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_ds(ray_session), threshold=0.5,
+                              hash_mode="md5")
+    assert pairs.schema.names == ["a", "b", "nmatch"]
+    got = {(r["a"], r["b"]): r["nmatch"] for r in pairs.to_pylist()}
+    assert got[(0, 1)] == 64  # exact dup → every permutation matches
+    assert (0, 2) in got and got[(0, 2)] >= 32
+    assert not any(3 in p or 4 in p for p in got)
+    # deterministic across runs (fresh signature computation)
+    pairs2 = minhash_lsh_pairs(_docs_ds(ray_session), threshold=0.5,
+                               hash_mode="md5")
+    assert sorted(pairs.to_pylist(), key=str) == \
+        sorted(pairs2.to_pylist(), key=str)
+
+
+def test_minhash_md5_gramless_doc_never_pairs(ray_session):
+    import ray.data
+
+    from imgray.ops.dedup import minhash_lsh_pairs
+
+    # two identical docs with < 3 tokens have no grams → no signature
+    # → no pairs (matches the oracle's empty generate_series range)
+    ds = ray.data.from_items([{"doc_id": 0, "text": "ab cd"},
+                              {"doc_id": 1, "text": "ab cd"},
+                              {"doc_id": 2, "text": ""}])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, hash_mode="md5")
+    assert pairs.num_rows == 0
+
+
+def test_minhash_bad_hash_mode_rejected(ray_session):
+    from imgray.ops.dedup import minhash_lsh_pairs
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(_docs_ds(ray_session), hash_mode="sha9")
+
+
 def test_simhash_pairs(ray_session):
     from imgray.ops.dedup import simhash_pairs, simhash64, hamming64
 
