@@ -226,8 +226,46 @@ def bloom_contains(words: np.ndarray, keys,
 
 # ---------------------------------------------------- shuffle hash join
 
-def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
-              right_cols: list[str], num_partitions: int = 64,
+def _column_u64(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized full-width uint64 mix per key value (integer: Knuth
+    multiply + xorshift; other types: blake2b of the string form).
+    Used to combine COMPOSITE join keys into one partition hash —
+    single-column stages keep routing through the shared
+    _hash_partition_column so their co-partitioning is unchanged."""
+    if pa.types.is_integer(keys.type):
+        v = pc.fill_null(pc.cast(keys, pa.int64()), 0).to_numpy(
+            zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            x = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return x ^ (x >> np.uint64(33))
+    import hashlib
+
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(str(k).encode(),
+                                        digest_size=8).digest(), "big")
+         for k in keys.to_pylist()],
+        dtype=np.uint64)
+
+
+def _partition_on_keys(batch: pa.Table, keys: list[str],
+                       num_partitions: int) -> pa.Array:
+    """Partition ids for one or more key columns.  Single keys reuse
+    THE shared partitioner; composite keys polynomial-combine the
+    per-column mixes, so any two stages keyed on the same column list
+    (same order) are co-partitioned by construction."""
+    if len(keys) == 1:
+        return _hash_partition_column(batch.column(keys[0]),
+                                      num_partitions)
+    h = _column_u64(batch.column(keys[0]))
+    for k in keys[1:]:
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(1099511628211) ^ _column_u64(batch.column(k))
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+
+
+def hash_join(left_ds, right_ds, key: str | list[str],
+              left_cols: list[str], right_cols: list[str],
+              num_partitions: int = 64,
               how: str = "inner", bloom_from: str | None = None,
               post_join=None):
     """Equi-join of two LARGE datasets — neither side broadcast.
@@ -269,9 +307,19 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
 
     ``left_cols`` / ``right_cols`` must be disjoint payload column
     name sets (the join key is carried once).
+
+    ``key`` may be a LIST of column names for a composite equi-join:
+    the exchange partitions on a polynomial combine of the per-column
+    hashes and Arrow matches on the full tuple.  Bloom pre-filtering
+    is single-key only (the filter hashes one column).
     """
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("at least one join key is required")
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"unsupported join type: {how!r}")
+    if bloom_from is not None and len(keys) > 1:
+        raise ValueError("bloom_from requires a single join key")
     if bloom_from not in (None, "left", "right"):
         raise ValueError(f"bad bloom_from: {bloom_from!r}")
     if how == "left" and bloom_from == "right":
@@ -293,12 +341,12 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
         import ray as _ray
 
         src = left_ds if bloom_from == "left" else right_ds
-        words_ref = _ray.put(build_bloom(src, key))
+        words_ref = _ray.put(build_bloom(src, keys[0]))
 
         def prefilter(batch: pa.Table) -> pa.Table:
             words = _ray.get(words_ref)
             return batch.filter(pa.array(
-                bloom_contains(words, batch.column(key))))
+                bloom_contains(words, batch.column(keys[0]))))
 
         if bloom_from == "left":
             right_ds = right_ds.map_batches(prefilter,
@@ -314,7 +362,7 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
 
     def tag(batch: pa.Table, side: int) -> pa.Table:
         n = batch.num_rows
-        cols = {key: batch.column(key)}
+        cols = {k: batch.column(k) for k in keys}
         for c in left_cols:
             cols[c] = (batch.column(c) if side == 0
                        else pa.nulls(n, type=left_types[c]))
@@ -322,8 +370,7 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
             cols[c] = (batch.column(c) if side == 1
                        else pa.nulls(n, type=right_types[c]))
         cols["_r"] = pa.array(np.full(n, side, dtype=np.int8))
-        cols["_part"] = _hash_partition_column(batch.column(key),
-                                               num_partitions)
+        cols["_part"] = _partition_on_keys(batch, keys, num_partitions)
         return pa.table(cols)
 
     tagged = (left_ds.map_batches(lambda b: tag(b, 0),
@@ -331,7 +378,7 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
               .union(right_ds.map_batches(lambda b: tag(b, 1),
                                           batch_format="pyarrow")))
 
-    out_cols = [key] + left_cols + right_cols
+    out_cols = keys + left_cols + right_cols
 
     jt = {"inner": "inner", "left": "left outer",
           "right": "right outer", "full": "full outer"}[how]
@@ -339,9 +386,9 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
     def join_partition(part: pa.Table) -> pa.Table:
         side = part.column("_r")
         lt = (part.filter(pc.equal(side, 0))
-              .select([key] + left_cols))
+              .select(keys + left_cols))
         rt = (part.filter(pc.equal(side, 1))
-              .select([key] + right_cols))
+              .select(keys + right_cols))
         keep_l = how in ("left", "full")
         keep_r = how in ("right", "full")
         if (lt.num_rows == 0 and not keep_r) or \
@@ -349,7 +396,7 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
             joined = pa.table(
                 {c: pa.array([], type=(left_types.get(c) or
                                        right_types.get(c) or
-                                       lt.schema.field(key).type))
+                                       lt.schema.field(c).type))
                  for c in out_cols})
         elif rt.num_rows == 0:  # left/full outer, nothing to match
             for c in right_cols:
@@ -362,7 +409,7 @@ def hash_join(left_ds, right_ds, key: str, left_cols: list[str],
                     c, pa.nulls(rt.num_rows, type=left_types[c]))
             joined = rt.select(out_cols)
         else:
-            joined = lt.join(rt, keys=key, join_type=jt).select(out_cols)
+            joined = lt.join(rt, keys=keys, join_type=jt).select(out_cols)
         return post_join(joined) if post_join is not None else joined
 
     return (tagged.groupby("_part")
@@ -412,6 +459,32 @@ def _hist_pass(ds, col: str, spans: list[tuple[int, int]],
     return hists, widths
 
 
+def _kth_values(ds, col: str, ks, lo0: int, hi0: int) -> dict[int, int]:
+    """Exact k-th-smallest values (1-indexed ranks) for every k in
+    ``ks``, via the shared-pass histogram refinement.  All open
+    brackets ride each streaming pass together."""
+    results: dict[int, int] = {}
+    # per-rank bracket (lo, hi, within-bracket rank)
+    brackets = {k: (lo0, hi0, k) for k in set(ks)}
+    while brackets:
+        open_ks = list(brackets)
+        spans = [(brackets[k][0], brackets[k][1]) for k in open_ks]
+        hists, widths = _hist_pass(ds, col, spans)
+        for k, hist, width in zip(open_ks, hists, widths):
+            lo, hi, r = brackets[k]
+            cum = np.cumsum(hist)
+            b = int(np.searchsorted(cum, r))
+            below = int(cum[b - 1]) if b > 0 else 0
+            blo = lo + b * width
+            bhi = min(hi, blo + width - 1)
+            if width == 1:
+                results[k] = blo
+                del brackets[k]
+            else:
+                brackets[k] = (blo, bhi, r - below)
+    return results
+
+
 def exact_quantiles_int(ds, col: str, qs: list[float]) -> pa.Table:
     """Exact q-quantiles of an integer column, defined as the k-th
     smallest value with ``k = ceil(q * n)`` (so the DuckDB oracle is
@@ -429,32 +502,94 @@ def exact_quantiles_int(ds, col: str, qs: list[float]) -> pa.Table:
     lo0, hi0 = int(agg[f"min({col})"]), int(agg[f"max({col})"])
     n = int(agg["count()"])
     targets = {q: max(1, min(n, math.ceil(q * n))) for q in qs}
-
-    results = {}
-    # per-target bracket (lo, hi, within-bracket rank)
-    brackets = {q: (lo0, hi0, k) for q, k in targets.items()}
-    while brackets:
-        open_qs = list(brackets)
-        spans = [(brackets[q][0], brackets[q][1]) for q in open_qs]
-        hists, widths = _hist_pass(ds, col, spans)
-        for q, hist, width in zip(open_qs, hists, widths):
-            lo, hi, k = brackets[q]
-            cum = np.cumsum(hist)
-            b = int(np.searchsorted(cum, k))
-            below = int(cum[b - 1]) if b > 0 else 0
-            blo = lo + b * width
-            bhi = min(hi, blo + width - 1)
-            if width == 1:
-                results[q] = blo
-                del brackets[q]
-            else:
-                brackets[q] = (blo, bhi, k - below)
+    results = _kth_values(ds, col, targets.values(), lo0, hi0)
     return pa.table({
         "q_bp": pa.array([int(round(q * 10000)) for q in qs],
                          type=pa.int64()),
         "k": pa.array([targets[q] for q in qs], type=pa.int64()),
-        "value": pa.array([results[q] for q in qs], type=pa.int64()),
+        "value": pa.array([results[targets[q]] for q in qs],
+                          type=pa.int64()),
     })
+
+
+def quantile_cont_int(ds, col: str, qs: list[float]) -> pa.Table:
+    """INTERPOLATED percentiles (SQL ``quantile_cont`` semantics) of an
+    integer column: position ``p = q * (n - 1)`` (0-indexed), value =
+    ``x[floor(p)] + (x[ceil(p)] - x[floor(p)]) * (p - floor(p))``.
+
+    The two bracketing order statistics come from the same shared-pass
+    histogram refinement as :func:`exact_quantiles_int` (one rank set,
+    one pass group — never a sort).  Output is in micro-units
+    (``round(value * 10000)``): with dyadic q (0.25, 0.5, 0.75) the
+    interpolation is EXACT in float64 and the integer hash-matches
+    DuckDB's ``round(quantile_cont(..) * 10000)`` bit-for-bit; avoid
+    non-dyadic q if the oracle must hash-match."""
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Min(col), Max(col), Count())
+    lo0, hi0 = int(agg[f"min({col})"]), int(agg[f"max({col})"])
+    n = int(agg["count()"])
+    pos = {q: q * (n - 1) for q in qs}
+    ks = set()
+    for p in pos.values():
+        ks.add(int(math.floor(p)) + 1)
+        ks.add(int(math.ceil(p)) + 1)
+    vals = _kth_values(ds, col, ks, lo0, hi0)
+    out = []
+    for q in qs:
+        p = pos[q]
+        vlo = vals[int(math.floor(p)) + 1]
+        vhi = vals[int(math.ceil(p)) + 1]
+        frac = p - math.floor(p)
+        interp = vlo + (vhi - vlo) * frac
+        out.append(int(math.floor(interp * 10000 + 0.5)))
+    return pa.table({
+        "q_bp": pa.array([int(round(q * 10000)) for q in qs],
+                         type=pa.int64()),
+        "value_u": pa.array(out, type=pa.int64()),
+    })
+
+
+def grouped_mode_int(ds, group_col: str, col: str,
+                     num_partitions: int = 32):
+    """Per-group MODE of an integer column with the deterministic SQL
+    tie-break (highest count, then smallest value — the
+    ``row_number() OVER (ORDER BY cnt DESC, v ASC)`` convention).
+
+    Decomposable: each block emits (group, value, count) partials via
+    Arrow's vectorized group_by; ONE exchange on the group hash
+    co-locates every partial of a group; the per-partition combine
+    sums counts per (group, value) and takes the first row of each
+    group run after a (group ASC, count DESC, value ASC) sort.  Only
+    distinct (group, value) pairs ever cross the wire.  Returns
+    Dataset[{group, mode, n}]."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch.column(group_col),
+                      col: batch.column(col)})
+        g = t.group_by([group_col, col]).aggregate([([], "count_all")])
+        return pa.table({group_col: g.column(group_col),
+                         col: g.column(col),
+                         "cnt": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    def combine(part: pa.Table) -> pa.Table:
+        g = (part.group_by([group_col, col])
+             .aggregate([("cnt", "sum")]))
+        s = g.sort_by([(group_col, "ascending"),
+                       ("cnt_sum", "descending"),
+                       (col, "ascending")])
+        groups = s.column(group_col).to_pylist()
+        first_idx = [i for i, grp in enumerate(groups)
+                     if i == 0 or grp != groups[i - 1]]
+        t = s.take(pa.array(first_idx))
+        return pa.table({group_col: t.column(group_col),
+                         "mode": t.column(col),
+                         "n": t.column("cnt_sum")})
+
+    return coarse_partition_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col, combine, num_partitions)
 
 
 def exact_group_quantiles_int(ds, col: str, group_col: str,
@@ -532,7 +667,8 @@ def exact_group_quantiles_int(ds, col: str, group_col: str,
     })
 
 
-def auto_join(left_ds, right_ds, key: str, left_cols: list[str],
+def auto_join(left_ds, right_ds, key: str | list[str],
+              left_cols: list[str],
               right_cols: list[str], how: str = "inner",
               broadcast_threshold: int = 1_000_000, **kw):
     """Join strategy picker: if the RIGHT side is small enough to ship
@@ -567,20 +703,21 @@ def auto_join(left_ds, right_ds, key: str, left_cols: list[str],
         return hash_join(left_ds, right_ds, key, left_cols,
                          right_cols, how=how, **kw)
 
+    keys = [key] if isinstance(key, str) else list(key)
     right_tbl = pa.concat_tables(
         [t for t in (_ray.get(r) for r in right_ds.to_arrow_refs())
          if t.num_rows > 0],
         promote_options="default") if n_right else None
     if right_tbl is not None:
-        right_tbl = right_tbl.select([key] + right_cols)
+        right_tbl = right_tbl.select(keys + right_cols)
     right_ref = _ray.put(right_tbl)
     right_types = {c: right_ds.schema().base_schema.field(c).type
                    for c in right_cols}
-    out_cols = [key] + left_cols + right_cols
+    out_cols = keys + left_cols + right_cols
 
     def bjoin(batch: pa.Table) -> pa.Table:
         rt = _ray.get(right_ref)
-        lt = batch.select([key] + left_cols)
+        lt = batch.select(keys + left_cols)
         if rt is None or rt.num_rows == 0:
             if how == "left":
                 for c in right_cols:
@@ -588,11 +725,12 @@ def auto_join(left_ds, right_ds, key: str, left_cols: list[str],
                         c, pa.nulls(lt.num_rows, type=right_types[c]))
                 return lt.select(out_cols)
             return lt.slice(0, 0).join(
-                pa.table({key: pa.array([], type=lt.schema.field(key).type),
+                pa.table({**{k: pa.array([], type=lt.schema.field(k).type)
+                             for k in keys},
                           **{c: pa.array([], type=right_types[c])
                              for c in right_cols}}),
-                keys=key).select(out_cols)
+                keys=keys).select(out_cols)
         jt = "inner" if how == "inner" else "left outer"
-        return lt.join(rt, keys=key, join_type=jt).select(out_cols)
+        return lt.join(rt, keys=keys, join_type=jt).select(out_cols)
 
     return left_ds.map_batches(bjoin, batch_format="pyarrow")

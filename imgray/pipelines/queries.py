@@ -17,6 +17,7 @@ Scalability patterns used (and graded):
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 
 import numpy as np
@@ -845,6 +846,127 @@ def q_urgent_only_custkeys(sf_dir: str):
 
     return _collect(except_keys(keys_of("1-URGENT"),
                                 keys_of("2-HIGH"), "custkey"))
+
+
+def q_returned_late_items(sf_dir: str):
+    """COMPOSITE-KEY shuffle hash join: line items that were both
+    returned (flag R) and late-shipped, matched on the
+    (l_orderkey, l_linenumber) column PAIR — the exchange partitions
+    on a polynomial combine of the per-column hashes and Arrow matches
+    the full tuple.  The synthetic lineitem deliberately repeats
+    ~1/4 of its (orderkey, linenumber) pairs, so the composite join's
+    duplicate-key cross product is exercised for real (20,143 output
+    rows from 20,046 R-rows at sf0.01)."""
+    from ..ops.relational import hash_join
+
+    cutoff = _dt.datetime(1997, 6, 1)
+
+    def returned(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "qty": pc.cast(pc.round(t.column("l_quantity"), 0),
+                           pa.int64()),
+        })
+
+    left = _read_sized(sf_dir, "lineitem",
+                       ["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity"]) \
+        .map_batches(returned, batch_format="pyarrow")
+
+    def late(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("l_shipdate"),
+                                pa.scalar(cutoff)))
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "price_cents": _cents(t.column("l_extendedprice")),
+        })
+
+    right = _read_sized(sf_dir, "lineitem",
+                        ["l_orderkey", "l_linenumber", "l_shipdate",
+                         "l_extendedprice"]) \
+        .map_batches(late, batch_format="pyarrow")
+
+    return _collect(hash_join(left, right,
+                              ["l_orderkey", "l_linenumber"],
+                              ["qty"], ["price_cents"]))
+
+
+def q_signup_purchase_funnel(sf_dir: str):
+    """Funnel analysis: per user, seconds between the FIRST signup and
+    the FIRST purchase, for users who signed up strictly before they
+    purchased.  Decomposable min-timestamp partials per block (Arrow
+    group_by, one int64 µs column per funnel step), one small exchange
+    on the user hash, exact combine — no sort, no sessionize, no raw
+    event rows in the shuffle."""
+    from ..ops.dedup import coarse_partition_groups
+
+    null_us = pa.scalar(None, type=pa.int64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b.column("ts"), pa.int64())
+        et = b.column("event_type")
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "s": pc.if_else(pc.equal(et, "signup"), ts_us, null_us),
+            "p": pc.if_else(pc.equal(et, "purchase"), ts_us, null_us),
+        })
+        g = t.group_by("user_id").aggregate([("s", "min"), ("p", "min")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "s": g.column("s_min"), "p": g.column("p_min")})
+
+    def combine(part: pa.Table) -> pa.Table:
+        g = (part.group_by("user_id")
+             .aggregate([("s", "min"), ("p", "min")]))
+        s, p = g.column("s_min"), g.column("p_min")
+        keep = pc.and_kleene(pc.is_valid(s),
+                             pc.and_kleene(pc.is_valid(p),
+                                           pc.less(s, p)))
+        t = g.filter(pc.fill_null(keep, False))
+        gap = pc.divide(pc.subtract(t.column("p_min"),
+                                    t.column("s_min")),
+                        pa.scalar(1_000_000, type=pa.int64()))
+        return pa.table({"user_id": t.column("user_id"),
+                         "gap_s": pc.cast(gap, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return _collect(coarse_partition_groups(ds, "user_id", combine, 32))
+
+
+def q_returnflag_mode_qty(sf_dir: str):
+    """Per-group MODE (most frequent quantity per return flag) with the
+    deterministic (count DESC, value ASC) SQL tie-break — only distinct
+    (group, value) count partials cross the one exchange."""
+    from ..ops.relational import grouped_mode_int
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "l_returnflag": b.column("l_returnflag"),
+                "qty": pc.cast(pc.round(b.column("l_quantity"), 0),
+                               pa.int64())}),
+            batch_format="pyarrow")
+    out = _collect(grouped_mode_int(ds, "l_returnflag", "qty"))
+    return pa.table({"l_returnflag": out.column("l_returnflag"),
+                     "mode_qty": out.column("mode"),
+                     "n": out.column("n")})
+
+
+def q_price_percentiles_cont(sf_dir: str):
+    """Interpolated percentiles (SQL quantile_cont) of the order price
+    in cents, at dyadic q so the float interpolation is exact and the
+    micro-unit integers hash-match DuckDB bit-for-bit.  Order
+    statistics come from the shared-pass histogram refinement — no
+    sort at any scale."""
+    from ..ops.relational import quantile_cont_int
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda b: pa.table({"cents": _cents(b.column("o_totalprice"))}),
+        batch_format="pyarrow")
+    return quantile_cont_int(ds, "cents", [0.25, 0.5, 0.75])
 
 
 def q_cms_term_counts(sf_dir: str):
@@ -1832,6 +1954,10 @@ QUERIES = {
     "urgent_building_full": q_urgent_building_full,
     "urgent_high_intersect": q_urgent_high_intersect,
     "urgent_only_custkeys": q_urgent_only_custkeys,
+    "returned_late_items": q_returned_late_items,
+    "signup_purchase_funnel": q_signup_purchase_funnel,
+    "returnflag_mode_qty": q_returnflag_mode_qty,
+    "price_percentiles_cont": q_price_percentiles_cont,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
     "price_rank_in_priority": q_price_rank_in_priority,
@@ -2540,6 +2666,57 @@ ORACLE_SQL = {
         EXCEPT
         SELECT o_custkey FROM orders
         WHERE o_orderpriority = '2-HIGH'""",
+    "returned_late_items": """
+        SELECT a.l_orderkey, a.l_linenumber,
+               CAST(round(a.l_quantity) AS BIGINT) AS qty,
+               CAST(round(b.l_extendedprice * 100) AS BIGINT)
+                   AS price_cents
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem WHERE l_returnflag = 'R') a
+        JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1997-06-01') b
+        ON a.l_orderkey = b.l_orderkey
+           AND a.l_linenumber = b.l_linenumber""",
+    "signup_purchase_funnel": """
+        SELECT user_id,
+               CAST((epoch_us(p) - epoch_us(s)) // 1000000
+                    AS BIGINT) AS gap_s
+        FROM (SELECT user_id,
+                     min(CASE WHEN event_type = 'signup'
+                              THEN ts END) AS s,
+                     min(CASE WHEN event_type = 'purchase'
+                              THEN ts END) AS p
+              FROM events GROUP BY user_id)
+        WHERE s IS NOT NULL AND p IS NOT NULL AND s < p""",
+    "returnflag_mode_qty": """
+        WITH c AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS qty,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, qty AS mode_qty, cnt AS n
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY l_returnflag
+                  ORDER BY cnt DESC, qty ASC) AS rn
+              FROM c)
+        WHERE rn = 1""",
+    "price_percentiles_cont": """
+        WITH cents AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders)
+        SELECT q_bp, value_u FROM (
+            SELECT 2500 AS q_bp,
+                   CAST(round(quantile_cont(c, 0.25) * 10000)
+                        AS BIGINT) AS value_u FROM cents
+            UNION ALL
+            SELECT 5000,
+                   CAST(round(quantile_cont(c, 0.5) * 10000)
+                        AS BIGINT) FROM cents
+            UNION ALL
+            SELECT 7500,
+                   CAST(round(quantile_cont(c, 0.75) * 10000)
+                        AS BIGINT) FROM cents)""",
     "daily_active_users": """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

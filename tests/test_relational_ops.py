@@ -254,6 +254,94 @@ def test_auto_join_right_full_route_to_shuffle(ray_session):
         (1, "a", None), (2, "b", 20), (3, None, 30)]
 
 
+def test_hash_join_composite_key(ray_session):
+    left = pa.table({"k1": pa.array([1, 1, 2], type=pa.int64()),
+                     "k2": ["x", "y", "x"],
+                     "lv": pa.array([10, 11, 12], type=pa.int64())})
+    right = pa.table({"k1": pa.array([1, 1, 2, 3], type=pa.int64()),
+                      "k2": ["x", "x", "z", "x"],
+                      "rv": pa.array([100, 200, 300, 400],
+                                     type=pa.int64())})
+    rows = _hj(left, right, ["k1", "k2"], ["lv"], ["rv"])
+    # only the FULL tuple matches: (1,x) has 1 left x 2 right rows;
+    # (1,y), (2,x) unmatched; k1=2/k2=z and k1=3 never match
+    assert [(r["k1"], r["k2"], r["lv"], r["rv"]) for r in rows] == [
+        (1, "x", 10, 100), (1, "x", 10, 200)]
+
+
+def test_hash_join_composite_key_left_outer(ray_session):
+    left = pa.table({"k1": pa.array([1, 2], type=pa.int64()),
+                     "k2": pa.array([7, 8], type=pa.int64()),
+                     "lv": ["a", "b"]})
+    right = pa.table({"k1": pa.array([1], type=pa.int64()),
+                      "k2": pa.array([7], type=pa.int64()),
+                      "rv": pa.array([5], type=pa.int64())})
+    rows = _hj(left, right, ["k1", "k2"], ["lv"], ["rv"], how="left")
+    assert [(r["k1"], r["k2"], r["lv"], r["rv"]) for r in rows] == [
+        (1, 7, "a", 5), (2, 8, "b", None)]
+
+
+def test_hash_join_composite_bloom_rejected(ray_session):
+    from imgray.ops.relational import hash_join
+
+    ds = _ds(pa.table({"k1": pa.array([1], type=pa.int64()),
+                       "k2": pa.array([1], type=pa.int64()),
+                       "v": pa.array([1], type=pa.int64())}))
+    try:
+        hash_join(ds, ds, ["k1", "k2"], ["v"], [], bloom_from="left")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_auto_join_composite_broadcast(ray_session):
+    from imgray.ops.relational import auto_join
+
+    left = pa.table({"k1": pa.array([1, 2], type=pa.int64()),
+                     "k2": ["a", "b"],
+                     "lv": pa.array([10, 20], type=pa.int64())})
+    right = pa.table({"k1": pa.array([2, 2], type=pa.int64()),
+                      "k2": ["b", "c"],
+                      "rv": pa.array([7, 8], type=pa.int64())})
+    out = pa.concat_tables(
+        [pa.table(b) for b in
+         auto_join(_ds(left), _ds(right), ["k1", "k2"], ["lv"], ["rv"])
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    assert out.to_pylist() == [
+        {"k1": 2, "k2": "b", "lv": 20, "rv": 7}]
+
+
+def test_grouped_mode_tiebreak(ray_session):
+    from imgray.ops.relational import grouped_mode_int
+
+    # group "a": 7 and 3 both appear twice → SQL tie-break picks the
+    # SMALLER value; group "b": unique mode 5
+    t = pa.table({"g": ["a", "a", "a", "a", "b", "b", "b"],
+                  "v": pa.array([7, 7, 3, 3, 5, 5, 9],
+                                type=pa.int64())})
+    out = pa.concat_tables(
+        [pa.table(b) for b in grouped_mode_int(_ds(t), "g", "v")
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    rows = {r["g"]: (r["mode"], r["n"]) for r in out.to_pylist()}
+    assert rows == {"a": (3, 2), "b": (5, 2)}
+
+
+def test_quantile_cont_interpolates(ray_session):
+    from imgray.ops.relational import quantile_cont_int
+
+    # values 0..100: quantile_cont(0.25) = 25, (0.5) = 50 exactly;
+    # and with n=4 values [0,10,20,30], q=0.5 → pos 1.5 → 15
+    t = pa.table({"v": pa.array(list(range(101)), type=pa.int64())})
+    out = quantile_cont_int(_ds(t), "v", [0.25, 0.5]).to_pylist()
+    assert [(r["q_bp"], r["value_u"]) for r in out] == [
+        (2500, 250000), (5000, 500000)]
+    t2 = pa.table({"v": pa.array([30, 0, 20, 10], type=pa.int64())})
+    out2 = quantile_cont_int(_ds(t2), "v", [0.5]).to_pylist()
+    assert out2 == [{"q_bp": 5000, "value_u": 150000}]
+
+
 # ------------------------------------------------------- set operations
 
 def _set(fn, a, b, key="k", **kw):
