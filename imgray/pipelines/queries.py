@@ -1184,6 +1184,51 @@ def q_qty_discount_corr(sf_dir: str):
     return pa.table({"corr_ppm": pa.array([ppm], type=pa.int64())})
 
 
+def q_qty_price_regression(sf_dir: str):
+    """Least-squares regression of line-item price (cents) on quantity
+    from the same exact integer moment sums as the correlation query
+    (slope = (nΣxy − ΣxΣy) / (nΣx² − Σx²), intercept from the means):
+    one small partial row per block, unbounded-int combine, and a
+    float tail written token-for-token in the SQL oracle so both ppm
+    results hash-match.  The oracle deliberately avoids DuckDB's
+    built-in regr_slope (a streaming float implementation whose
+    rounding path differs) — the CONTRACT is the exact-moments
+    formula."""
+    import math
+
+    ds = _read_sized(sf_dir, "lineitem",
+                     ["l_quantity", "l_extendedprice"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column("l_quantity"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = _cents(b.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+        })
+
+    t = _collect(ds.map_batches(moments, batch_format="pyarrow"))
+    n = sum(t.column("n").to_pylist())
+    sx = sum(t.column("sx").to_pylist())
+    sy = sum(t.column("sy").to_pylist())
+    sxx = sum(t.column("sxx").to_pylist())
+    sxy = sum(t.column("sxy").to_pylist())
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    icept = (float(sy) - slope * float(sx)) / float(n)
+
+    def ppm(v: float) -> int:
+        return (math.floor(v * 1e6 + 0.5) if v >= 0
+                else math.ceil(v * 1e6 - 0.5))
+
+    return pa.table({"slope_ppm": pa.array([ppm(slope)], type=pa.int64()),
+                     "icept_ppm": pa.array([ppm(icept)], type=pa.int64())})
+
+
 def q_price_rank_in_priority(sf_dir: str):
     """RANK() window function at scale: the rank of every 97th order's
     price within its priority group, computed WITHOUT materializing or
@@ -1958,6 +2003,7 @@ QUERIES = {
     "signup_purchase_funnel": q_signup_purchase_funnel,
     "returnflag_mode_qty": q_returnflag_mode_qty,
     "price_percentiles_cont": q_price_percentiles_cont,
+    "qty_price_regression": q_qty_price_regression,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
     "price_rank_in_priority": q_price_rank_in_priority,
@@ -2560,6 +2606,28 @@ ORACLE_SQL = {
             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
                    * CAST(n*syy - sy*sy AS DOUBLE))
             * 1000000) AS BIGINT) AS corr_ppm
+        FROM s""",
+    "qty_price_regression": """
+        WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                          CAST(round(l_extendedprice*100) AS BIGINT) AS y
+                   FROM lineitem),
+        s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x*x) AS HUGEINT) AS sxx,
+                     CAST(sum(x*y) AS HUGEINT) AS sxy
+              FROM v)
+        SELECT CAST(round(
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE)
+                   * 1000000) AS BIGINT) AS slope_ppm,
+               CAST(round(
+                   (CAST(sy AS DOUBLE)
+                    - CAST(n*sxy - sx*sy AS DOUBLE)
+                      / CAST(n*sxx - sx*sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE)
+                   * 1000000) AS BIGINT) AS icept_ppm
         FROM s""",
     "price_rank_in_priority": """
         SELECT o_orderkey,

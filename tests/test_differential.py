@@ -51,6 +51,134 @@ def test_hash_join_matches_duckdb(ray_session, seed, how):
     assert got == want, (seed, how)
 
 
+@pytest.mark.parametrize("seed", [2, 17, 58])
+@pytest.mark.parametrize("how", ["right", "full"])
+def test_outer_join_matches_duckdb(ray_session, seed, how):
+    from imgray.ops.relational import hash_join
+
+    left, right = _rand_tables(seed)
+    got = sorted(
+        ((r["k"], r["lv"], r["rv"])
+         for b in hash_join(_ds(left), _ds(right, 3), "k",
+                            ["lv"], ["rv"],
+                            how=how, num_partitions=16)
+         .iter_batches(batch_format="pyarrow")
+         for r in pa.table(b).to_pylist()),
+        key=lambda t: tuple(str(x) for x in t))
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    jt = "RIGHT JOIN" if how == "right" else "FULL OUTER JOIN"
+    want = sorted(
+        (tuple(row) for row in con.execute(
+            f"SELECT COALESCE(l.k, r.k), lv, rv FROM l {jt} r "
+            "ON l.k = r.k").fetchall()),
+        key=lambda t: tuple(str(x) for x in t))
+    assert got == want, (seed, how)
+
+
+@pytest.mark.parametrize("seed", [5, 19, 73])
+def test_composite_join_matches_duckdb(ray_session, seed):
+    from imgray.ops.relational import hash_join
+
+    rng = np.random.RandomState(seed)
+    nl, nr = rng.randint(50, 300), rng.randint(50, 300)
+    left = pa.table({
+        "k1": pa.array(rng.randint(0, 10, nl), type=pa.int64()),
+        "k2": pa.array(rng.randint(0, 10, nl), type=pa.int64()),
+        "lv": pa.array(rng.randint(0, 100, nl), type=pa.int64()),
+    })
+    right = pa.table({
+        "k1": pa.array(rng.randint(0, 10, nr), type=pa.int64()),
+        "k2": pa.array(rng.randint(0, 10, nr), type=pa.int64()),
+        "rv": pa.array(rng.randint(0, 100, nr), type=pa.int64()),
+    })
+    got = sorted(
+        (r["k1"], r["k2"], r["lv"], r["rv"])
+        for b in hash_join(_ds(left), _ds(right, 3), ["k1", "k2"],
+                           ["lv"], ["rv"], num_partitions=16)
+        .iter_batches(batch_format="pyarrow")
+        for r in pa.table(b).to_pylist())
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = sorted(tuple(row) for row in con.execute(
+        "SELECT l.k1, l.k2, lv, rv FROM l JOIN r "
+        "ON l.k1 = r.k1 AND l.k2 = r.k2").fetchall())
+    assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", [4, 29, 61])
+def test_set_ops_match_duckdb(ray_session, seed):
+    from imgray.ops.relational import except_keys, intersect_keys
+
+    left, right = _rand_tables(seed)
+
+    def run(fn):
+        return sorted(
+            r["k"]
+            for b in fn(_ds(left), _ds(right, 3), "k",
+                        num_partitions=16)
+            .iter_batches(batch_format="pyarrow")
+            for r in pa.table(b).to_pylist())
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    inter = sorted(row[0] for row in con.execute(
+        "SELECT k FROM l INTERSECT SELECT k FROM r").fetchall())
+    exc = sorted(row[0] for row in con.execute(
+        "SELECT k FROM l EXCEPT SELECT k FROM r").fetchall())
+    assert run(intersect_keys) == inter, seed
+    assert run(except_keys) == exc, seed
+
+
+@pytest.mark.parametrize("seed", [8, 44])
+def test_grouped_mode_matches_duckdb(ray_session, seed):
+    from imgray.ops.relational import grouped_mode_int
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(100, 600)
+    t = pa.table({
+        "g": pa.array([f"g{x}" for x in rng.randint(0, 6, n)]),
+        "v": pa.array(rng.randint(0, 12, n), type=pa.int64()),
+    })
+    got = sorted(
+        (r["g"], r["mode"], r["n"])
+        for b in grouped_mode_int(_ds(t), "g", "v", num_partitions=8)
+        .iter_batches(batch_format="pyarrow")
+        for r in pa.table(b).to_pylist())
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(tuple(row) for row in con.execute("""
+        WITH c AS (SELECT g, v, count(*) AS cnt FROM t GROUP BY 1, 2)
+        SELECT g, v, cnt FROM (
+            SELECT *, row_number() OVER (PARTITION BY g
+                ORDER BY cnt DESC, v ASC) AS rn FROM c)
+        WHERE rn = 1""").fetchall())
+    assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", [6, 37])
+def test_quantile_cont_matches_duckdb(ray_session, seed):
+    from imgray.ops.relational import quantile_cont_int
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(30, 500)
+    t = pa.table({"v": pa.array(rng.randint(-1000, 100000, n),
+                                type=pa.int64())})
+    got = {r["q_bp"]: r["value_u"]
+           for r in quantile_cont_int(_ds(t), "v",
+                                      [0.25, 0.5, 0.75]).to_pylist()}
+    con = duckdb.connect()
+    con.register("t", t)
+    want = {int(q * 10000): row[0] for q in (0.25, 0.5, 0.75)
+            for row in [con.execute(
+                f"SELECT CAST(round(quantile_cont(v, {q}) * 10000) "
+                "AS BIGINT) FROM t").fetchone()]}
+    assert got == want, seed
+
+
 @pytest.mark.parametrize("seed", [3, 11, 31])
 def test_semi_anti_join_match_duckdb(ray_session, seed):
     from imgray.ops.relational import anti_join, semi_join
