@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "sessionize",          # windowed op (groupby.map_groups)
     "asof_join",           # broadcast as-of join
     "q3_shipping",         # large-large shuffle hash join
+    "returned_late_items",  # composite-key shuffle join (60k x 60k)
 ]
 
 CRAWL_SCALE = int(os.environ.get("IMGRAY_BENCH_CRAWL_SCALE", "3"))

@@ -1459,6 +1459,52 @@ def q_nation_rollup(sf_dir: str):
                      "total_cents": pa.array(cents, type=pa.int64())})
 
 
+def q_priority_status_cube(sf_dir: str):
+    """CUBE grouping sets over (priority, status): all four grouping
+    sets — finest, both one-way marginals, and the grand total — are
+    derived from the FINEST per-block partials (count and cents-sum
+    are decomposable), so the cube costs one streaming aggregate and
+    a 15-row driver combine regardless of scale.  'ALL' marks the
+    rolled-up dimension, mirroring the oracle's COALESCE."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "prio": b.column("o_orderpriority"),
+            "status": b.column("o_orderstatus"),
+            "cents": _cents(b.column("o_totalprice")),
+        }).group_by(["prio", "status"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return pa.table({"prio": t.column("prio"),
+                         "status": t.column("status"),
+                         "cents": t.column("cents_sum"),
+                         "n": pc.cast(t.column("count_all"),
+                                      pa.int64())})
+
+    fine = (_collect(ds.map_batches(partial, batch_format="pyarrow"))
+            .group_by(["prio", "status"])
+            .aggregate([("cents", "sum"), ("n", "sum")]))
+    prio = fine.column("prio").to_pylist()
+    status = fine.column("status").to_pylist()
+    cents = fine.column("cents_sum").to_pylist()
+    ns = fine.column("n_sum").to_pylist()
+
+    cells: dict[tuple[str, str], tuple[int, int]] = {}
+    for p, s, c, n in zip(prio, status, cents, ns):
+        for key in ((p, s), (p, "ALL"), ("ALL", s), ("ALL", "ALL")):
+            oc, on = cells.get(key, (0, 0))
+            cells[key] = (oc + c, on + n)
+    keys = sorted(cells)
+    return pa.table({
+        "prio": pa.array([k[0] for k in keys]),
+        "status": pa.array([k[1] for k in keys]),
+        "n": pa.array([cells[k][1] for k in keys], type=pa.int64()),
+        "total_cents": pa.array([cells[k][0] for k in keys],
+                                type=pa.int64()),
+    })
+
+
 _FLAGSHIP_CACHE: dict[int, object] = {}
 
 
@@ -2004,6 +2050,7 @@ QUERIES = {
     "returnflag_mode_qty": q_returnflag_mode_qty,
     "price_percentiles_cont": q_price_percentiles_cont,
     "qty_price_regression": q_qty_price_regression,
+    "priority_status_cube": q_priority_status_cube,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
     "price_rank_in_priority": q_price_rank_in_priority,
@@ -2607,6 +2654,13 @@ ORACLE_SQL = {
                    * CAST(n*syy - sy*sy AS DOUBLE))
             * 1000000) AS BIGINT) AS corr_ppm
         FROM s""",
+    "priority_status_cube": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
     "qty_price_regression": """
         WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
                           CAST(round(l_extendedprice*100) AS BIGINT) AS y
