@@ -3,7 +3,14 @@
 No Pillow in this sandbox, so the codecs are written from scratch on
 numpy + stdlib zlib:
 
-  * PNG  — 8-bit RGB, zlib/filter-0 encode; full filter-0..4 decode.
+  * PNG  — encode: 8-bit RGB, zlib/filter-0.  Decode: every legal
+    IHDR combination — color types 0/2/3/4/6, bit depths 1/2/4/8/16
+    (16-bit reduced to the high byte, the standard 8-bit reduction),
+    PLTE palette, tRNS palette alpha, Adam7 interlace, filters 0..4.
+    Alpha is composited over BLACK with round-half-up integer math
+    ((c*a + 127) // 255) — the same opaque-black convention the GIF
+    decoder uses for GCE transparency; tRNS color-key transparency on
+    color types 0/2 is intentionally ignored (pixels stay opaque).
   * BMP  — 24-bit BI_RGB bottom-up.
   * LSY  — a small DCT-quantization lossy codec (stands in for JPEG so
     the PSNR≥40 dB per-row invariant of BASELINE.json input_hint is
@@ -48,8 +55,48 @@ def png_encode(img: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
-    stride = w * bpp
+def png_encode_interlaced(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → Adam7-interlaced RGB8 PNG (filter 0): the
+    seven passes' scanlines are concatenated in pass order per the
+    spec, so progressive-capable decoders (ours included) can render
+    incrementally."""
+    h, w, _ = img.shape
+    body = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            flat = sub.reshape(sub.shape[0], -1)
+            body += b"".join(b"\x00" + r.tobytes() for r in flat)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(body, 2))
+            + _chunk(b"IEND", b""))
+
+
+def png_encode_palette(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → color-type-3 (palette) PNG.  Colors are
+    quantized to 5 levels per channel (≤125 palette entries) with the
+    deterministic midpoint map v -> (v // 52) * 52 + 26; decode
+    returns exactly that quantized image."""
+    h, w, _ = img.shape
+    q = ((img // 52) * 52 + 26).astype(np.uint8)
+    colors, inv = np.unique(q.reshape(-1, 3), axis=0,
+                            return_inverse=True)
+    idx = inv.reshape(h, w).astype(np.uint8)
+    body = b"".join(b"\x00" + r.tobytes() for r in idx)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+            + _chunk(b"IDAT", zlib.compress(body, 2))
+            + _chunk(b"IEND", b""))
+
+
+def _png_unfilter_bytes(raw: np.ndarray, h: int, stride: int,
+                        bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters over raw (filter-byte + stride) rows;
+    returns (h, stride) bytes.  ``bpp`` is the filter's pixel advance
+    in BYTES (max(1, channels*depth//8) per the spec — sub-byte depths
+    filter with bpp=1)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = raw[y * (stride + 1)]
@@ -75,30 +122,126 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 cur[x] = (line[x] + pred) & 0xFF
         out[y] = cur.astype(np.uint8)
-    return out.reshape(h, w, bpp)
+    return out
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    return _png_unfilter_bytes(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass origins/strides (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_decode_rect(raw: np.ndarray, w: int, h: int, channels: int,
+                     depth: int) -> np.ndarray:
+    """One (sub-)image of filtered scanlines → (h, w, channels) uint8
+    SAMPLES (palette indices stay indices; 16-bit keeps the high
+    byte; depths 1/2/4 stay unscaled — scaling is color-type work)."""
+    bits_pp = channels * depth
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    rows = _png_unfilter_bytes(raw, h, stride, bpp)
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        return rows.reshape(h, stride)[:, : w * channels * 2] \
+            .reshape(h, w * channels, 2)[:, :, 0].reshape(h, w, channels)
+    # sub-byte depths (legal only for 1 channel): unpack bit groups
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (bits.reshape(h, w, depth) * weights).sum(
+        axis=2).astype(np.uint8)
+    return samples.reshape(h, w, 1)
+
+
+def _png_nbytes(w: int, h: int, channels: int, depth: int) -> int:
+    return h * ((w * channels * depth + 7) // 8 + 1)
 
 
 def png_decode(data: bytes) -> np.ndarray:
+    """Full-coverage PNG decode → (h, w, 3) uint8 RGB.  See module
+    docstring for the supported surface and the opaque-black alpha
+    convention."""
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos = len(_PNG_SIG)
-    w = h = None
+    w = h = depth = ctype = interlace = None
+    plte = trns = None
     idat = b""
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         typ = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if typ == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or ctype != 2:
-                raise ValueError("only RGB8 supported")
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13])
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
             break
         pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16) or \
+       (depth < 8 and ctype not in (0, 3)) or \
+       (depth == 16 and ctype == 3):
+        raise ValueError(f"illegal PNG depth/type {depth}/{ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+
+    channels = _PNG_CHANNELS[ctype]
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    return _png_unfilter(raw, h, w, 3)
+    if interlace == 0:
+        samples = _png_decode_rect(raw, w, h, channels, depth)
+    elif interlace == 1:
+        samples = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sw = len(range(x0, w, dx))
+            sh = len(range(y0, h, dy))
+            if sw == 0 or sh == 0:
+                continue
+            nb = _png_nbytes(sw, sh, channels, depth)
+            samples[y0::dy, x0::dx] = _png_decode_rect(
+                raw[off : off + nb], sw, sh, channels, depth)
+            off += nb
+    else:
+        raise ValueError(f"bad PNG interlace {interlace}")
+
+    def over_black(c: np.ndarray, a: np.ndarray) -> np.ndarray:
+        return ((c.astype(np.uint16) * a.astype(np.uint16) + 127)
+                // 255).astype(np.uint8)
+
+    if ctype == 2:
+        return np.ascontiguousarray(samples)
+    if ctype == 6:
+        a = samples[:, :, 3:4]
+        return over_black(samples[:, :, :3], a)
+    if ctype == 3:
+        idx = samples[:, :, 0]
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(256, 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            rgb = over_black(rgb, alpha[idx][:, :, None])
+        return rgb
+    # grayscale (0) / gray+alpha (4)
+    g = samples[:, :, 0]
+    if depth < 8:
+        g = (g.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
+            .astype(np.uint8)
+    if ctype == 4:
+        g = over_black(g[:, :, None], samples[:, :, 1:2])[:, :, 0]
+    return np.repeat(g[:, :, None], 3, axis=2)
 
 
 # ------------------------------------------------------------------- BMP

@@ -210,6 +210,13 @@ class SynthWeb:
 
             return Response(200, jpeg_encode_progressive(
                 img, subsample=seed % 4 == 1), ctype)
+        if fmt == "png" and self.spec.mixed_formats:
+            # rotate the real web's common PNG variants in: a third
+            # Adam7-interlaced, a third palette (color type 3)
+            if seed % 3 == 1:
+                return Response(200, C.png_encode_interlaced(img), ctype)
+            if seed % 3 == 2:
+                return Response(200, C.png_encode_palette(img), ctype)
         return Response(200, C.encode_image(img, fmt), ctype)
 
     # ------------------------------------------------------------ pages
