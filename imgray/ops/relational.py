@@ -247,6 +247,16 @@ def _column_u64(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
         dtype=np.uint64)
 
 
+def _keys_u64(batch: pa.Table, keys: list[str]) -> np.ndarray:
+    """Combined uint64 key hash per row (polynomial over the
+    per-column mixes)."""
+    h = _column_u64(batch.column(keys[0]))
+    for k in keys[1:]:
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(1099511628211) ^ _column_u64(batch.column(k))
+    return h
+
+
 def _partition_on_keys(batch: pa.Table, keys: list[str],
                        num_partitions: int) -> pa.Array:
     """Partition ids for one or more key columns.  Single keys reuse
@@ -256,18 +266,53 @@ def _partition_on_keys(batch: pa.Table, keys: list[str],
     if len(keys) == 1:
         return _hash_partition_column(batch.column(keys[0]),
                                       num_partitions)
-    h = _column_u64(batch.column(keys[0]))
-    for k in keys[1:]:
-        with np.errstate(over="ignore"):
-            h = h * np.uint64(1099511628211) ^ _column_u64(batch.column(k))
+    h = _keys_u64(batch, keys)
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+
+
+_SALT_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _salted_parts(h: np.ndarray, salt: np.ndarray,
+                  num_partitions: int) -> np.ndarray:
+    """Partition id for (key hash, salt) — salt 0..S-1 spreads one key
+    over S distinct partition slots."""
+    with np.errstate(over="ignore"):
+        m = h ^ (salt.astype(np.uint64) + np.uint64(1)) * _SALT_MIX
+        m ^= m >> np.uint64(29)
+    return (m % np.uint64(num_partitions)).astype(np.int32)
+
+
+def hot_key_hashes(ds, keys: list[str], hot_frac: float) -> np.ndarray:
+    """Combined-u64 hashes of keys that fill ≥ ``hot_frac`` of ANY
+    block — by pigeonhole this catches every key holding ≥ hot_frac
+    of the whole dataset (plus harmless locally-heavy extras), while
+    each block contributes at most 1/hot_frac candidate hashes, so the
+    driver combine stays tiny at any scale."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        h = _keys_u64(batch, keys).view(np.int64)
+        t = (pa.table({"h": pa.array(h)})
+             .group_by("h").aggregate([([], "count_all")]))
+        thr = max(1, int(batch.num_rows * hot_frac))
+        return t.filter(pc.greater_equal(t.column("count_all"),
+                                         thr)).select(["h"])
+
+    out = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        out.update(pa.table(b).column("h").to_pylist())
+    return np.sort(np.array(sorted(out), dtype=np.int64))
 
 
 def hash_join(left_ds, right_ds, key: str | list[str],
               left_cols: list[str], right_cols: list[str],
               num_partitions: int = 64,
               how: str = "inner", bloom_from: str | None = None,
-              post_join=None):
+              post_join=None, salt_hot_keys: int | None = None,
+              hot_frac: float = 0.01):
     """Equi-join of two LARGE datasets — neither side broadcast.
     ``how`` is ``"inner"``, ``"left"``, ``"right"`` or ``"full"``
     (outer joins: unmatched rows of the preserved side(s) survive with
@@ -312,6 +357,21 @@ def hash_join(left_ds, right_ds, key: str | list[str],
     the exchange partitions on a polynomial combine of the per-column
     hashes and Arrow matches on the full tuple.  Bloom pre-filtering
     is single-key only (the filter hashes one column).
+
+    ``salt_hot_keys=S`` enables EXPLICIT SKEW MITIGATION: a streaming
+    pre-pass finds keys filling ≥ ``hot_frac`` of any left-side block
+    (pigeonhole-complete for globally-hot keys, bounded candidates
+    per block), broadcasts their hashes once, then spreads each hot
+    key's LEFT rows across S partition slots by a deterministic salt
+    while the RIGHT side's hot-key rows are replicated once per salt
+    — every match still happens exactly once, so results are
+    identical to the unsalted join, but a key holding half the input
+    occupies S tasks instead of one straggler.  Inner/left only
+    (replicas would corrupt unmatched-right detection) and not
+    combinable with ``post_join`` (a hot key's output spans S
+    partitions, breaking per-key co-location).  Over-detection (a
+    locally-heavy or hash-colliding key) only costs a few extra
+    replicated rows, never correctness.
     """
     keys = [key] if isinstance(key, str) else list(key)
     if not keys:
@@ -336,6 +396,17 @@ def hash_join(left_ds, right_ds, key: str | list[str],
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"payload columns appear on both sides: {overlap}")
+    if salt_hot_keys is not None:
+        if salt_hot_keys < 2:
+            raise ValueError("salt_hot_keys must be >= 2")
+        if how not in ("inner", "left"):
+            raise ValueError("salting replicates right rows, which "
+                             "corrupts unmatched-right detection: "
+                             "inner/left only")
+        if post_join is not None:
+            raise ValueError("salting spreads a hot key over several "
+                             "partitions, breaking the per-key "
+                             "co-location post_join relies on")
 
     if bloom_from is not None:
         import ray as _ray
@@ -355,6 +426,13 @@ def hash_join(left_ds, right_ds, key: str | list[str],
             left_ds = left_ds.map_batches(prefilter,
                                           batch_format="pyarrow")
 
+    hot_ref = None
+    if salt_hot_keys is not None:
+        import ray as _ray
+
+        # streaming pre-pass: hashes of locally-heavy keys, broadcast once
+        hot_ref = _ray.put(hot_key_hashes(left_ds, keys, hot_frac))
+
     left_types = {c: left_ds.schema().base_schema.field(c).type
                   for c in left_cols}
     right_types = {c: right_ds.schema().base_schema.field(c).type
@@ -370,8 +448,49 @@ def hash_join(left_ds, right_ds, key: str | list[str],
             cols[c] = (batch.column(c) if side == 1
                        else pa.nulls(n, type=right_types[c]))
         cols["_r"] = pa.array(np.full(n, side, dtype=np.int8))
-        cols["_part"] = _partition_on_keys(batch, keys, num_partitions)
-        return pa.table(cols)
+        if hot_ref is None:
+            cols["_part"] = _partition_on_keys(batch, keys,
+                                               num_partitions)
+            return pa.table(cols)
+        # skew-salted routing: one consistent u64 scheme for all rows
+        import ray as _ray
+
+        hot_arr = _ray.get(hot_ref)
+        h = _keys_u64(batch, keys)
+        hot = np.isin(h.view(np.int64), hot_arr)
+        base = (h % np.uint64(num_partitions)).astype(np.int32)
+        if side == 0:
+            salt = np.arange(n, dtype=np.uint64) % np.uint64(salt_hot_keys)
+            part = np.where(hot,
+                            _salted_parts(h, salt, num_partitions),
+                            base)
+            cols["_part"] = pa.array(part.astype(np.int32))
+            return pa.table(cols)
+        t = pa.table(cols)
+        pieces = [t.filter(pa.array(~hot)).append_column(
+            "_part", pa.array(base[~hot]))]
+        hot_idx = np.nonzero(hot)[0]
+        if hot_idx.size:
+            ht = t.take(pa.array(hot_idx))
+            hh = h[hot_idx]
+            m = hot_idx.size
+            # one replica per DISTINCT partition a salt maps to — two
+            # salts colliding mod num_partitions must not double the
+            # row in that partition (it would duplicate every match)
+            all_parts = np.stack([
+                _salted_parts(hh, np.full(m, s, dtype=np.uint64),
+                              num_partitions)
+                for s in range(salt_hot_keys)])  # (S, m)
+            pair = (np.tile(np.arange(m, dtype=np.int64),
+                            salt_hot_keys)
+                    * np.int64(num_partitions)
+                    + all_parts.reshape(-1).astype(np.int64))
+            uniq = np.unique(pair)
+            ridx = uniq // num_partitions
+            rpart = (uniq % num_partitions).astype(np.int32)
+            pieces.append(ht.take(pa.array(ridx)).append_column(
+                "_part", pa.array(rpart)))
+        return pa.concat_tables(pieces)
 
     tagged = (left_ds.map_batches(lambda b: tag(b, 0),
                                   batch_format="pyarrow")

@@ -510,3 +510,74 @@ def test_hash_join_null_keys_deterministic(ray_session):
                       "rv": pa.array([7, 8], type=pa.int64())})
     rows = _hj(left, right, "k", ["lv"], ["rv"])
     assert [(r["k"], r["lv"], r["rv"]) for r in rows] == [(2, "c", 8)]
+
+
+# ----------------------------------------------------- skew salting
+
+def _zipf_tables(seed=13):
+    rng = np.random.RandomState(seed)
+    n = 2000
+    # one pathological key = half of all left rows
+    k = np.where(rng.rand(n) < 0.5, 7,
+                 rng.randint(100, 200, n)).astype(np.int64)
+    left = pa.table({"k": pa.array(k),
+                     "lv": pa.array(rng.randint(0, 50, n),
+                                    type=pa.int64())})
+    right = pa.table({
+        "k": pa.array(np.r_[7, 7, rng.randint(100, 220, 40)]
+                      .astype(np.int64)),
+        "rv": pa.array(rng.randint(0, 50, 42), type=pa.int64()),
+    })
+    return left, right
+
+
+def test_salted_join_identical_to_unsalted(ray_session):
+    left, right = _zipf_tables()
+    plain = _hj(left, right, "k", ["lv"], ["rv"], num_partitions=16)
+    for how in ("inner", "left"):
+        p = _hj(left, right, "k", ["lv"], ["rv"], how=how,
+                num_partitions=16)
+        s = _hj(left, right, "k", ["lv"], ["rv"], how=how,
+                num_partitions=16, salt_hot_keys=4)
+        assert p == s, how
+    assert len(plain) > 1000  # the hot key fans out for real
+
+
+def test_salted_join_overdetection_harmless(ray_session):
+    # hot_frac so low every key is "hot": pure replication, same result
+    left, right = _zipf_tables(seed=21)
+    p = _hj(left, right, "k", ["lv"], ["rv"], num_partitions=16)
+    s = _hj(left, right, "k", ["lv"], ["rv"], num_partitions=16,
+            salt_hot_keys=3, hot_frac=1e-9)
+    assert p == s
+
+
+def test_hot_key_detection_and_spread(ray_session):
+    from imgray.ops.relational import (_keys_u64, _salted_parts,
+                                       hot_key_hashes)
+
+    left, _ = _zipf_tables()
+    hot = hot_key_hashes(_ds(left), ["k"], 0.25)
+    h7 = _keys_u64(pa.table({"k": pa.array([7], type=pa.int64())}),
+                   ["k"])
+    assert int(h7.view(np.int64)[0]) in set(hot.tolist())
+    # the hot key's S salts land on >= 2 distinct partitions
+    parts = {int(_salted_parts(h7, np.array([s], dtype=np.uint64),
+                               16)[0]) for s in range(4)}
+    assert len(parts) >= 2
+
+
+def test_salted_join_invalid_combos_rejected(ray_session):
+    from imgray.ops.relational import hash_join
+
+    ds = _ds(pa.table({"k": pa.array([1], type=pa.int64()),
+                       "v": pa.array([1], type=pa.int64())}))
+    for kw in ({"how": "full", "salt_hot_keys": 4},
+               {"how": "right", "salt_hot_keys": 4},
+               {"salt_hot_keys": 1},
+               {"salt_hot_keys": 4, "post_join": lambda t: t}):
+        try:
+            hash_join(ds, ds, "k", ["v"], [], **kw)
+            assert False, f"expected ValueError for {kw}"
+        except ValueError:
+            pass
