@@ -458,6 +458,115 @@ def union_find_groups(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+# ------------------------------------------- edit-distance similarity join
+
+def _lev_le1(a: str, b: str) -> int | None:
+    """Levenshtein distance if ≤ 1, else None — O(len) two-pointer
+    check, no DP table."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:  # exactly one substitution?
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return 1 if diff == 1 else None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a+1 chars: one insertion?
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None
+
+
+def editdist1_pairs(ds, text_col: str, id_col: str,
+                    num_partitions: int = 64):
+    """Similarity join at edit distance ≤ 1 via the FastSS
+    deletion-neighborhood (Bocek et al., 2007): every string buckets
+    under the 64-bit hash of itself and of each single-character
+    deletion; any two strings within Levenshtein 1 provably share a
+    bucket (a deletion edit IS a neighbor; a substitution at i shares
+    the delete-at-i variant; insertion is the mirror of deletion), so
+    recall is exact, not probabilistic.
+
+    Scale shape mirrors the compact MinHash: the shuffle carries ONLY
+    (key:int64, id:int64) rows (len+1 per string); the strings spill
+    columnar once per input block and are re-read only for ids that
+    appear in a candidate pair.  Verification is the exact O(len)
+    ≤1-distance check.  Returns a sorted (a, b, dist) table."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    sig_dir = tempfile.mkdtemp(prefix="imgray-editdist-str-")
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        if ids:
+            pq.write_table(
+                pa.table({"id": pa.array(ids, type=pa.int64()),
+                          "s": pa.array(texts, type=pa.string())}),
+                os.path.join(sig_dir,
+                             f"str-{uuid.uuid4().hex}.parquet"))
+        out_id, out_key = [], []
+        for did, s in zip(ids, texts):
+            for v in {s} | {s[:i] + s[i + 1:] for i in range(len(s))}:
+                key = int.from_bytes(
+                    hashlib.blake2b(v.encode(),
+                                    digest_size=8).digest(),
+                    "big") >> 1
+                out_id.append(did)
+                out_key.append(key)
+        return pa.table({"id": pa.array(out_id, type=pa.int64()),
+                         "key": pa.array(out_key, type=pa.int64())})
+
+    def bucket_cands(g: pa.Table) -> pa.Table:
+        ids = sorted(set(g.column("id").to_pylist()))
+        pa_, pb_ = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pa_.append(ids[i])
+                pb_.append(ids[j])
+        return pa.table({"a": pa.array(pa_, type=pa.int64()),
+                         "b": pa.array(pb_, type=pa.int64())})
+
+    try:
+        cands = _pairs_over_buckets(
+            ds.map_batches(buckets, batch_format="pyarrow"),
+            "key", bucket_cands, _CAND, num_partitions)
+        t = _collect_pairs(cands, _CAND)
+        if t.num_rows == 0:
+            return _PAIR_DIST.empty_table()
+        pairs = sorted({(x, y) for x, y in zip(t.column("a").to_pylist(),
+                                               t.column("b").to_pylist())})
+        involved = pa.array(sorted({i for p in pairs for i in p}),
+                            type=pa.int64())
+        smap: dict[int, str] = {}
+        for f in sorted(os.listdir(sig_dir)):
+            st = pq.read_table(os.path.join(sig_dir, f))
+            st = st.filter(pc.is_in(st.column("id"),
+                                    value_set=involved))
+            smap.update(zip(st.column("id").to_pylist(),
+                            st.column("s").to_pylist()))
+        out_a, out_b, out_d = [], [], []
+        for x, y in pairs:
+            d = _lev_le1(smap[x], smap[y])
+            if d is not None:
+                out_a.append(x)
+                out_b.append(y)
+                out_d.append(d)
+        return pa.table({"a": pa.array(out_a, type=pa.int64()),
+                         "b": pa.array(out_b, type=pa.int64()),
+                         "dist": pa.array(out_d, type=pa.int64())})
+    finally:
+        shutil.rmtree(sig_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash64(text: str) -> int:

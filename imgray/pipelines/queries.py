@@ -360,6 +360,18 @@ def q_minhash_pairs_md5(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5, hash_mode="md5")
 
 
+def q_fuzzy_customer_names(sf_dir: str):
+    """Similarity (fuzzy) join: customer-name pairs within Levenshtein
+    distance 1 via the FastSS deletion-neighborhood bucketing — exact
+    recall by construction (not probabilistic), (key,id)-only shuffle,
+    strings spilled once and fetched only for candidates.  19,500
+    pairs at sf0.01 (names differing in one digit)."""
+    from ..ops.dedup import editdist1_pairs
+
+    ds = _read_sized(sf_dir, "customer", ["c_custkey", "c_name"])
+    return editdist1_pairs(ds, "c_name", "c_custkey")
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs.  ORACLE-CHECKED: with 4×16-bit bands and
     radius 3 the banding is pigeonhole-complete, so the operator's
@@ -2041,6 +2053,7 @@ QUERIES = {
     "q3_shipping": q_q3_shipping,
     "simhash_pairs": q_simhash_pairs,
     "minhash_pairs_md5": q_minhash_pairs_md5,
+    "fuzzy_customer_names": q_fuzzy_customer_names,
     "order_bulk_counts": q_order_bulk_counts,
     "urgent_building_full": q_urgent_building_full,
     "urgent_high_intersect": q_urgent_high_intersect,
@@ -2654,6 +2667,12 @@ ORACLE_SQL = {
                    * CAST(n*syy - sy*sy AS DOUBLE))
             * 1000000) AS BIGINT) AS corr_ppm
         FROM s""",
+    "fuzzy_customer_names": """
+        SELECT a.c_custkey AS a, b.c_custkey AS b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM customer a JOIN customer b
+             ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1""",
     "priority_status_cube": """
         SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
                COALESCE(o_orderstatus, 'ALL') AS status,

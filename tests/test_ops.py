@@ -394,3 +394,42 @@ def test_ann_ivfpq_recall(ray_session):
         recalls.append(len(e & a) / len(e))
     # both prunings stack: bounded by IVF's nprobe recall
     assert np.mean(recalls) >= 0.4
+
+
+def test_lev_le1_vectors():
+    from imgray.ops.dedup import _lev_le1
+
+    assert _lev_le1("abc", "abc") == 0
+    assert _lev_le1("abc", "abd") == 1      # substitution
+    assert _lev_le1("abc", "abcd") == 1     # insertion at end
+    assert _lev_le1("abc", "xabc") == 1     # insertion at front
+    assert _lev_le1("abc", "ac") == 1       # deletion
+    assert _lev_le1("abc", "xyz") is None
+    assert _lev_le1("abc", "abcde") is None  # distance 2 by length
+    assert _lev_le1("abc", "acd") is None    # distance 2
+    assert _lev_le1("", "x") == 1
+    assert _lev_le1("", "") == 0
+
+
+def test_editdist1_pairs(ray_session):
+    import ray.data
+
+    from imgray.ops.dedup import editdist1_pairs
+
+    rows = [(0, "spark"), (1, "spars"),   # substitution -> 1
+            (2, "spark"),                 # exact dup of 0 -> 0
+            (3, "sparks"),                # insertion -> 1 (vs 0, 2), 1 vs 1? no: spars->sparks=1
+            (4, "stone")]                 # unrelated
+    ds = ray.data.from_items(
+        [{"id": i, "s": s} for i, s in rows])
+    out = editdist1_pairs(ds, "s", "id")
+    got = {(r["a"], r["b"]): r["dist"] for r in out.to_pylist()}
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 0
+    assert got[(0, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 3)] == 1  # spars + k = sparks
+    assert not any(4 in p for p in got)
+    # deterministic
+    out2 = editdist1_pairs(ds, "s", "id")
+    assert sorted(out.to_pylist(), key=str) == \
+        sorted(out2.to_pylist(), key=str)
