@@ -1196,6 +1196,32 @@ def q_qty_discount_corr(sf_dir: str):
     return pa.table({"corr_ppm": pa.array([ppm], type=pa.int64())})
 
 
+def q_event_type_entropy(sf_dir: str):
+    """Shannon entropy (nats) of the event-type distribution from
+    exact integer counts: per-block count partials, a tiny driver
+    combine, then the float tail ``ln(N) - Σ c·ln(c) / N`` written
+    with the same libm ln and evaluation order as the SQL oracle so
+    the ppm-rounded result hash-matches (the corr/TF-IDF precedent)."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (pa.table({"event_type": b.column("event_type")})
+             .group_by("event_type").aggregate([([], "count_all")]))
+        return pa.table({"event_type": t.column("event_type"),
+                         "n": pc.cast(t.column("count_all"),
+                                      pa.int64())})
+
+    t = (_collect(ds.map_batches(partial, batch_format="pyarrow"))
+         .group_by("event_type").aggregate([("n", "sum")]))
+    counts = sorted(t.column("n_sum").to_pylist())
+    n = sum(counts)
+    ent = math.log(n) - sum(c * math.log(c) for c in counts) / n
+    return pa.table({"ent_ppm": pa.array(
+        [int(math.floor(ent * 1e6 + 0.5))], type=pa.int64())})
+
+
 def q_qty_price_regression(sf_dir: str):
     """Least-squares regression of line-item price (cents) on quantity
     from the same exact integer moment sums as the correlation query
@@ -2063,6 +2089,7 @@ QUERIES = {
     "returnflag_mode_qty": q_returnflag_mode_qty,
     "price_percentiles_cont": q_price_percentiles_cont,
     "qty_price_regression": q_qty_price_regression,
+    "event_type_entropy": q_event_type_entropy,
     "priority_status_cube": q_priority_status_cube,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
@@ -2680,6 +2707,17 @@ ORACLE_SQL = {
                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
                     AS BIGINT) AS total_cents
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+    "event_type_entropy": """
+        WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                     list(n ORDER BY n) AS ns
+              FROM c)
+        SELECT CAST(floor((ln(total)
+                           - list_sum(list_transform(
+                                 ns, x -> x * ln(x))) / total)
+                          * 1000000 + 0.5) AS BIGINT) AS ent_ppm
+        FROM t""",
     "qty_price_regression": """
         WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
                           CAST(round(l_extendedprice*100) AS BIGINT) AS y

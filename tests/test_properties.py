@@ -79,3 +79,50 @@ def test_sniff_and_decode_total(data):
         C.decode_image(data)
     except Exception:
         pass  # any exception is acceptable; no hang/segfault
+
+
+def _lev_full(a: str, b: str) -> int:
+    """Reference full-DP Levenshtein for the property test."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.text(alphabet="abcx", max_size=8),
+       st.text(alphabet="abcx", max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_lev_le1_matches_full_dp(a, b):
+    from imgray.ops.dedup import _lev_le1
+
+    got = _lev_le1(a, b)
+    want = _lev_full(a, b)
+    if want <= 1:
+        assert got == want, (a, b)
+    else:
+        assert got is None, (a, b)
+
+
+@given(st.text(alphabet="abcx", min_size=1, max_size=8),
+       st.integers(0, 7), st.sampled_from("abcxz"))
+@settings(max_examples=200, deadline=None)
+def test_fastss_neighborhood_complete(s, i, c):
+    """Any single edit (sub/ins/del) of s shares a deletion variant
+    with s — the recall guarantee editdist1_pairs relies on."""
+    i = min(i, len(s) - 1)
+    edits = [s[:i] + c + s[i + 1:],   # substitution
+             s[:i] + c + s[i:],       # insertion
+             s[:i] + s[i + 1:]]       # deletion
+
+    def var(x):
+        return {x} | {x[:j] + x[j + 1:] for j in range(len(x))}
+
+    vs = var(s)
+    for e in edits:
+        assert vs & var(e), (s, e)
