@@ -125,10 +125,6 @@ def _png_unfilter_bytes(raw: np.ndarray, h: int, stride: int,
     return out
 
 
-def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
-    return _png_unfilter_bytes(raw, h, w * bpp, bpp).reshape(h, w, bpp)
-
-
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # Adam7 pass origins/strides (x0, y0, dx, dy)
 _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),

@@ -108,7 +108,10 @@ _MD5_GRAM_CACHE: dict[str, int] = {}
 
 def _md5_gram_hashes(text: str, n: int = 3) -> np.ndarray:
     """uint64 per word n-gram: md5 of the chr(31)-joined gram string,
-    bit-reproducible in SQL (the simhash64 precedent).  Docs with
+    bit-reproducible in SQL (the simhash64 precedent; like simhash,
+    the oracle's RE2 `\\w` is ASCII-only while Python's is
+    Unicode-aware — the bit-reproducibility contract assumes an ASCII
+    corpus, which the test corpora are).  Docs with
     fewer than n tokens produce NO grams — and therefore no signature
     and no pairs — matching the oracle's empty generate_series range
     (the default mode pads with "" instead).  Distinct grams are
@@ -299,6 +302,47 @@ def _pairs_over_buckets(sig_ds, key_col: str, pair_fn, schema: pa.Schema,
 _CAND = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 
+def _bucket_candidate_pairs(bucket_ds,
+                            num_partitions: int = 64) -> list[tuple]:
+    """Shared LSH scaffolding: (key, id) rows → sorted, globally
+    deduped candidate id pairs (each bucket contributes its
+    within-bucket distinct unordered pairs)."""
+
+    def bucket_cands(g: pa.Table) -> pa.Table:
+        ids = sorted(set(g.column("id").to_pylist()))
+        pa_, pb_ = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pa_.append(ids[i])
+                pb_.append(ids[j])
+        return pa.table({"a": pa.array(pa_, type=pa.int64()),
+                         "b": pa.array(pb_, type=pa.int64())})
+
+    cands = _pairs_over_buckets(bucket_ds, "key", bucket_cands, _CAND,
+                                num_partitions)
+    t = _collect_pairs(cands, _CAND)
+    return sorted({(x, y) for x, y in zip(t.column("a").to_pylist(),
+                                          t.column("b").to_pylist())})
+
+
+def _read_spilled(sig_dir: str, pairs: list[tuple], col: str) -> dict:
+    """Shared selective spill fetch: re-read only the ids that appear
+    in a candidate pair from the per-block side files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    involved = pa.array(sorted({i for p in pairs for i in p}),
+                        type=pa.int64())
+    out: dict = {}
+    for f in sorted(os.listdir(sig_dir)):
+        st = pq.read_table(os.path.join(sig_dir, f))
+        st = st.filter(pc.is_in(st.column("id"), value_set=involved))
+        out.update(zip(st.column("id").to_pylist(),
+                       st.column(col).to_pylist()))
+    return out
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.5, sig_dir: str | None = None,
@@ -378,37 +422,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"id": pa.array(out_id, type=pa.int64()),
                          "key": pa.array(out_key, type=pa.int64())})
 
-    def bucket_cands(g: pa.Table) -> pa.Table:
-        ids = g.column("id").to_pylist()
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] != ids[j]:
-                    x, y = sorted((ids[i], ids[j]))
-                    pa_.append(x)
-                    pb_.append(y)
-        return pa.table({"a": pa.array(pa_, type=pa.int64()),
-                         "b": pa.array(pb_, type=pa.int64())})
-
     out_schema = _PAIR_NM if hash_mode == "md5" else _PAIR_SIM
     try:
-        cands = _pairs_over_buckets(
-            ds.map_batches(sigs, batch_format="pyarrow"),
-            "key", bucket_cands, _CAND)
-        t = _collect_pairs(cands, _CAND)
-        if t.num_rows == 0:
+        pairs = _bucket_candidate_pairs(
+            ds.map_batches(sigs, batch_format="pyarrow"))
+        if not pairs:
             return out_schema.empty_table()
-        pairs = sorted({(x, y) for x, y in zip(t.column("a").to_pylist(),
-                                               t.column("b").to_pylist())})
-        involved = pa.array(sorted({i for p in pairs for i in p}),
-                            type=pa.int64())
-        sig_map: dict[int, np.ndarray] = {}
-        for f in sorted(os.listdir(sig_dir)):
-            st = pq.read_table(os.path.join(sig_dir, f))
-            st = st.filter(pc.is_in(st.column("id"), value_set=involved))
-            for i_, s_ in zip(st.column("id").to_pylist(),
-                              st.column("sig").to_pylist()):
-                sig_map[i_] = np.frombuffer(s_, dtype=np.uint64)
+        raw = _read_spilled(sig_dir, pairs, "sig")
+        sig_map = {i_: np.frombuffer(s_, dtype=np.uint64)
+                   for i_, s_ in raw.items()}
         sig_a = np.stack([sig_map[x] for x, _ in pairs])
         sig_b = np.stack([sig_map[y] for _, y in pairs])
         if hash_mode == "md5":
@@ -525,34 +547,13 @@ def editdist1_pairs(ds, text_col: str, id_col: str,
         return pa.table({"id": pa.array(out_id, type=pa.int64()),
                          "key": pa.array(out_key, type=pa.int64())})
 
-    def bucket_cands(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g.column("id").to_pylist()))
-        pa_, pb_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pa_.append(ids[i])
-                pb_.append(ids[j])
-        return pa.table({"a": pa.array(pa_, type=pa.int64()),
-                         "b": pa.array(pb_, type=pa.int64())})
-
     try:
-        cands = _pairs_over_buckets(
+        pairs = _bucket_candidate_pairs(
             ds.map_batches(buckets, batch_format="pyarrow"),
-            "key", bucket_cands, _CAND, num_partitions)
-        t = _collect_pairs(cands, _CAND)
-        if t.num_rows == 0:
+            num_partitions)
+        if not pairs:
             return _PAIR_DIST.empty_table()
-        pairs = sorted({(x, y) for x, y in zip(t.column("a").to_pylist(),
-                                               t.column("b").to_pylist())})
-        involved = pa.array(sorted({i for p in pairs for i in p}),
-                            type=pa.int64())
-        smap: dict[int, str] = {}
-        for f in sorted(os.listdir(sig_dir)):
-            st = pq.read_table(os.path.join(sig_dir, f))
-            st = st.filter(pc.is_in(st.column("id"),
-                                    value_set=involved))
-            smap.update(zip(st.column("id").to_pylist(),
-                            st.column("s").to_pylist()))
+        smap = _read_spilled(sig_dir, pairs, "s")
         out_a, out_b, out_d = [], [], []
         for x, y in pairs:
             d = _lev_le1(smap[x], smap[y])

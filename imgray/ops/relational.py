@@ -147,9 +147,9 @@ def _set_op(a_ds, b_ds, key: str, num_partitions: int, op: str):
             out = a_vals.filter(pc.invert(in_b))
             keep_null = a_null and not b_null
         if keep_null:
-            out = pa.concat_arrays(
-                [out.combine_chunks() if isinstance(out, pa.ChunkedArray)
-                 else out, pa.nulls(1, type=kc.type)])
+            # out is always a plain Array here (pc.unique returns one
+            # and drop_null/filter preserve it)
+            out = pa.concat_arrays([out, pa.nulls(1, type=kc.type)])
         return pa.table({key: out})
 
     return coarse_partition_groups(tagged, key, combine, num_partitions)
@@ -296,7 +296,13 @@ def hot_key_hashes(ds, keys: list[str], hot_frac: float) -> np.ndarray:
         h = _keys_u64(batch, keys).view(np.int64)
         t = (pa.table({"h": pa.array(h)})
              .group_by("h").aggregate([([], "count_all")]))
-        thr = max(1, int(batch.num_rows * hot_frac))
+        # floor of 2: a floor of 1 would flag EVERY distinct key of a
+        # block smaller than 1/hot_frac rows, degenerating the salting
+        # into S-fold full right-side replication and an unbounded
+        # driver set.  Blocks under 2/hot_frac rows weaken detection
+        # (conservative — a missed hot key only costs balance, never
+        # correctness); real-scale 32 MiB blocks are far above that.
+        thr = max(2, int(math.ceil(batch.num_rows * hot_frac)))
         return t.filter(pc.greater_equal(t.column("count_all"),
                                          thr)).select(["h"])
 
