@@ -948,6 +948,71 @@ def q_signup_purchase_funnel(sf_dir: str):
     return _collect(coarse_partition_groups(ds, "user_id", combine, 32))
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Retention-cohort matrix: for each signup-day cohort, how many
+    distinct users were active (any event) k days later.  Per-block
+    partials carry only (user, signup-min) and DISTINCT (user, day)
+    rows; ONE user-hash exchange co-locates each user, so the
+    per-partition distinct-user counts per (cohort, gap) are exact and
+    the driver just sums tiny partial count rows."""
+    from ..ops.dedup import coarse_partition_groups
+
+    DAY_US = 86_400_000_000
+    null_us = pa.scalar(None, type=pa.int64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b.column("ts"), pa.int64())
+        day_us = pc.multiply(pc.divide(ts_us, DAY_US),
+                             pa.scalar(DAY_US, type=pa.int64()))
+        et = b.column("event_type")
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "s": pc.if_else(pc.equal(et, "signup"), ts_us, null_us),
+            "day": day_us,
+        })
+        g = (t.group_by(["user_id", "day"])
+             .aggregate([("s", "min")]))
+        return pa.table({"user_id": g.column("user_id"),
+                         "s": g.column("s_min"),
+                         "day": g.column("day")})
+
+    def combine(part: pa.Table) -> pa.Table:
+        # every row of a user is here: true signup min + distinct days
+        su = (part.group_by("user_id").aggregate([("s", "min")]))
+        smap = dict(zip(su.column("user_id").to_pylist(),
+                        su.column("s_min").to_pylist()))
+        days = (part.group_by(["user_id", "day"]).aggregate([]))
+        uid = days.column("user_id").to_pylist()
+        dv = days.column("day").to_numpy(zero_copy_only=False)
+        counts: dict[tuple[int, int], int] = {}
+        for u, d in zip(uid, dv):
+            s = smap.get(u)
+            if s is None:
+                continue
+            s_day = (s // DAY_US) * DAY_US
+            if d < s_day:
+                continue
+            key = (s_day, int((d - s_day) // DAY_US))
+            counts[key] = counts.get(key, 0) + 1
+        ks = sorted(counts)
+        return pa.table({
+            "cohort_us": pa.array([k[0] for k in ks], type=pa.int64()),
+            "gap_days": pa.array([k[1] for k in ks], type=pa.int64()),
+            "n": pa.array([counts[k] for k in ks], type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    t = (_collect(coarse_partition_groups(ds, "user_id", combine, 32))
+         .group_by(["cohort_us", "gap_days"]).aggregate([("n", "sum")]))
+    cohort = pc.strftime(pc.cast(t.column("cohort_us"),
+                                 pa.timestamp("us")),
+                         format="%Y-%m-%d")
+    return pa.table({"cohort": cohort,
+                     "gap_days": t.column("gap_days"),
+                     "n_users": t.column("n_sum")})
+
+
 def q_returnflag_mode_qty(sf_dir: str):
     """Per-group MODE (most frequent quantity per return flag) with the
     deterministic (count DESC, value ASC) SQL tie-break — only distinct
@@ -2086,6 +2151,7 @@ QUERIES = {
     "urgent_only_custkeys": q_urgent_only_custkeys,
     "returned_late_items": q_returned_late_items,
     "signup_purchase_funnel": q_signup_purchase_funnel,
+    "retention_cohorts": q_retention_cohorts,
     "returnflag_mode_qty": q_returnflag_mode_qty,
     "price_percentiles_cont": q_price_percentiles_cont,
     "qty_price_regression": q_qty_price_regression,
@@ -2868,6 +2934,19 @@ ORACLE_SQL = {
                               THEN ts END) AS p
               FROM events GROUP BY user_id)
         WHERE s IS NOT NULL AND p IS NOT NULL AND s < p""",
+    "retention_cohorts": """
+        WITH s AS (SELECT user_id, min(ts) AS st FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+              FROM events),
+        j AS (SELECT strftime(date_trunc('day', st), '%Y-%m-%d')
+                         AS cohort,
+                     CAST(date_diff('day', date_trunc('day', st),
+                                    d) AS BIGINT) AS gap_days
+              FROM s JOIN a ON s.user_id = a.user_id
+              WHERE d >= date_trunc('day', st))
+        SELECT cohort, gap_days, CAST(count(*) AS BIGINT) AS n_users
+        FROM j GROUP BY 1, 2""",
     "returnflag_mode_qty": """
         WITH c AS (
             SELECT l_returnflag,
