@@ -190,11 +190,20 @@ def _hash_partition_column(keys: pa.ChunkedArray | pa.Array,
             zero_copy_only=False)
         h = (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
-    vals = keys.to_pylist()
-    parts = [int.from_bytes(
-        hashlib.blake2b(str(k).encode(), digest_size=4).digest(),
-        "big") % num_partitions for k in vals]
-    return pa.array(parts, type=pa.int32())
+    # non-integer keys: hash each DISTINCT value once (dictionary
+    # encode), then scatter — same per-value result as hashing every
+    # row, but the Python blake2b loop runs over uniques only
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)         else keys
+    enc = pc.dictionary_encode(arr)
+    uniq = enc.dictionary.to_pylist() + [None]  # sentinel for nulls
+    uh = np.array(
+        [int.from_bytes(hashlib.blake2b(str(k).encode(),
+                                        digest_size=4).digest(), "big")
+         % num_partitions for k in uniq],
+        dtype=np.int32)
+    idx = pc.fill_null(enc.indices,
+                       len(uniq) - 1).to_numpy(zero_copy_only=False)
+    return pa.array(uh[idx.astype(np.int64)])
 
 
 def coarse_partition_groups(ds, key_col: str, per_partition_fn,

@@ -238,13 +238,18 @@ def _column_u64(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
         with np.errstate(over="ignore"):
             x = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         return x ^ (x >> np.uint64(33))
-    import hashlib
-
-    return np.array(
+    # hash each DISTINCT value once, scatter via dictionary indices
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)         else keys
+    enc = pc.dictionary_encode(arr)
+    uniq = enc.dictionary.to_pylist() + [None]  # sentinel for nulls
+    uh = np.array(
         [int.from_bytes(hashlib.blake2b(str(k).encode(),
                                         digest_size=8).digest(), "big")
-         for k in keys.to_pylist()],
+         for k in uniq],
         dtype=np.uint64)
+    idx = pc.fill_null(enc.indices,
+                       len(uniq) - 1).to_numpy(zero_copy_only=False)
+    return uh[idx.astype(np.int64)]
 
 
 def _keys_u64(batch: pa.Table, keys: list[str]) -> np.ndarray:
