@@ -172,14 +172,20 @@ def _bloom_hashes(keys) -> tuple[np.ndarray, np.ndarray]:
         h1 ^= h1 >> np.uint64(29)
         h2 = (v * _BLOOM_C2) | np.uint64(1)
         return h1, h2
-    vals = keys.to_pylist()
-    h1 = np.empty(len(vals), dtype=np.uint64)
-    h2 = np.empty(len(vals), dtype=np.uint64)
-    for i, s in enumerate(vals):
+    arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) \
+        else keys
+    enc = pc.dictionary_encode(arr)
+    uniq = enc.dictionary.to_pylist() + [None]  # sentinel for nulls
+    u1 = np.empty(len(uniq), dtype=np.uint64)
+    u2 = np.empty(len(uniq), dtype=np.uint64)
+    for i, s in enumerate(uniq):
         d = hashlib.blake2b(str(s).encode(), digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "big")
-        h2[i] = int.from_bytes(d[8:], "big") | 1
-    return h1, h2
+        u1[i] = int.from_bytes(d[:8], "big")
+        u2[i] = int.from_bytes(d[8:], "big") | 1
+    idx = pc.fill_null(enc.indices,
+                       len(uniq) - 1).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return u1[idx], u2[idx]
 
 
 def build_bloom(ds, key: str, nbits: int = 1 << 23,
