@@ -977,28 +977,30 @@ def q_retention_cohorts(sf_dir: str):
                          "day": g.column("day")})
 
     def combine(part: pa.Table) -> pa.Table:
-        # every row of a user is here: true signup min + distinct days
-        su = (part.group_by("user_id").aggregate([("s", "min")]))
-        smap = dict(zip(su.column("user_id").to_pylist(),
-                        su.column("s_min").to_pylist()))
-        days = (part.group_by(["user_id", "day"]).aggregate([]))
-        uid = days.column("user_id").to_pylist()
+        # every row of a user is here: true signup min + distinct days;
+        # fully vectorized — sorted-user searchsorted join, no Python
+        # loop over (user, day) rows
+        su = part.group_by("user_id").aggregate([("s", "min")])
+        u = su.column("user_id").to_numpy(zero_copy_only=False)
+        sval = pc.is_valid(su.column("s_min")).to_numpy(
+            zero_copy_only=False)
+        sday = (pc.fill_null(su.column("s_min"), 0)
+                .to_numpy(zero_copy_only=False) // DAY_US) * DAY_US
+        order = np.argsort(u)
+        u_s, sday_s, sval_s = u[order], sday[order], sval[order]
+        days = part.group_by(["user_id", "day"]).aggregate([])
+        uid = days.column("user_id").to_numpy(zero_copy_only=False)
         dv = days.column("day").to_numpy(zero_copy_only=False)
-        counts: dict[tuple[int, int], int] = {}
-        for u, d in zip(uid, dv):
-            s = smap.get(u)
-            if s is None:
-                continue
-            s_day = (s // DAY_US) * DAY_US
-            if d < s_day:
-                continue
-            key = (s_day, int((d - s_day) // DAY_US))
-            counts[key] = counts.get(key, 0) + 1
-        ks = sorted(counts)
+        pos = np.searchsorted(u_s, uid)  # every uid exists in su
+        ok = sval_s[pos] & (dv >= sday_s[pos])
+        cohort = sday_s[pos][ok]
+        gap = (dv[ok] - cohort) // DAY_US
+        cells, counts = np.unique(np.column_stack([cohort, gap]),
+                                  axis=0, return_counts=True)
         return pa.table({
-            "cohort_us": pa.array([k[0] for k in ks], type=pa.int64()),
-            "gap_days": pa.array([k[1] for k in ks], type=pa.int64()),
-            "n": pa.array([counts[k] for k in ks], type=pa.int64()),
+            "cohort_us": pa.array(cells[:, 0], type=pa.int64()),
+            "gap_days": pa.array(cells[:, 1], type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
         })
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"]) \
