@@ -340,6 +340,11 @@ def q_token_counts(sf_dir: str):
 # ------------------------------------------------- rows-only (non-SQL) ops
 
 def q_minhash_pairs(sf_dir: str):
+    """Rows-only: the FAST MinHash mode's blake2b/wrapping-Mersenne
+    hashes have no SQL equivalent and the verify emits a float
+    similarity — the md5 sibling (q_minhash_pairs_md5) is the
+    oracle-checked variant; this one is pinned by planted-dup tests
+    and must return the same 25 pairs at sf0.01."""
     from ..ops.dedup import minhash_lsh_pairs
 
     ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
@@ -438,6 +443,10 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
+    """Rows-only: IVF is an APPROXIMATE index (nprobe=3 of 8 lists) —
+    no SQL reproduces which neighbors the probe misses.  Pinned by the
+    recall-vs-brute-force and block-order-invariance tests; the exact
+    brute-force sibling (ann_topk) is the oracle-checked one."""
     from ..ops.ann import ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -513,6 +522,10 @@ def q_langid(sf_dir: str):
 
 
 def q_quality(sf_dir: str):
+    """Rows-only: the quality score is a float whose summation order
+    differs from SQL — q_quality_bp is the basis-point integer sibling
+    that hash-matches an oracle; this variant keeps the library's
+    float API surface exercised."""
     from ..ops.text import quality_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
