@@ -919,6 +919,92 @@ def q_returned_late_items(sf_dir: str):
                               ["qty"], ["price_cents"]))
 
 
+def _format_cache(sf_dir: str, fmt: str, build) -> str:
+    """Deterministic per-sf scratch export under /tmp for the
+    alternate-source-format queries; built once, reused across runs
+    (the exported rows are a pure function of the parquet input)."""
+    import hashlib as _hl
+    import os
+
+    tag = _hl.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    path = f"/tmp/imgray-src-{fmt}-{tag}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        build(path)
+        open(done, "w").close()
+    return path
+
+
+def q_events_by_type_jsonl(sf_dir: str):
+    """SOURCE-FORMAT coverage: the events aggregate computed over a
+    JSONL export — Ray-native ``write_json`` (line-delimited) exports
+    the two needed columns once to scratch, ``read_json`` streams it
+    back, and the same partial-aggregate pipeline runs.  The oracle is
+    the PARQUET-side SQL: values must survive the format round-trip
+    bit-exactly (money re-integerized in cents on read)."""
+
+    def build(path: str) -> None:
+        _read(sf_dir, "events", ["event_type", "value"]) \
+            .write_json(path)
+
+    path = _format_cache(sf_dir, "jsonl", build)
+    ds = ray.data.read_json(path, file_extensions=["json"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b.column("event_type"),
+            "cents": _cents(b.column("value")),
+        }).group_by("event_type").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": t.column("cents_sum"),
+                         "n": pc.cast(t.column("count_all"),
+                                      pa.int64())})
+
+    t = (_collect(ds.map_batches(partial, batch_format="pyarrow"))
+         .group_by("event_type").aggregate([("cents", "sum"),
+                                            ("n", "sum")]))
+    return pa.table({"event_type": t.column("event_type"),
+                     "n": t.column("n_sum"),
+                     "value_cents": t.column("cents_sum")})
+
+
+def q_segment_counts_csv(sf_dir: str):
+    """SOURCE-FORMAT coverage: market-segment counts + balance cents
+    over a CSV export (Ray-native write_csv/read_csv) — same oracle
+    as the parquet path, proving the CSV round-trip is lossless for
+    the engine's integer-cents convention."""
+
+    def build(path: str) -> None:
+        _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"]) \
+            .write_csv(path)
+
+    path = _format_cache(sf_dir, "csv", build)
+    ds = ray.data.read_csv(path, file_extensions=["csv"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "cents": _cents(b.column("c_acctbal")),
+        }).group_by("c_mktsegment").aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                         "cents": t.column("cents_sum"),
+                         "n": pc.cast(t.column("count_all"),
+                                      pa.int64())})
+
+    t = (_collect(ds.map_batches(partial, batch_format="pyarrow"))
+         .group_by("c_mktsegment").aggregate([("cents", "sum"),
+                                              ("n", "sum")]))
+    return pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                     "n": t.column("n_sum"),
+                     "bal_cents": t.column("cents_sum")})
+
+
 def q_signup_purchase_funnel(sf_dir: str):
     """Funnel analysis: per user, seconds between the FIRST signup and
     the FIRST purchase, for users who signed up strictly before they
@@ -2167,6 +2253,8 @@ QUERIES = {
     "returned_late_items": q_returned_late_items,
     "signup_purchase_funnel": q_signup_purchase_funnel,
     "retention_cohorts": q_retention_cohorts,
+    "events_by_type_jsonl": q_events_by_type_jsonl,
+    "segment_counts_csv": q_segment_counts_csv,
     "returnflag_mode_qty": q_returnflag_mode_qty,
     "price_percentiles_cont": q_price_percentiles_cont,
     "qty_price_regression": q_qty_price_regression,
@@ -2949,6 +3037,16 @@ ORACLE_SQL = {
                               THEN ts END) AS p
               FROM events GROUP BY user_id)
         WHERE s IS NOT NULL AND p IS NOT NULL AND s < p""",
+    "events_by_type_jsonl": """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY event_type""",
+    "segment_counts_csv": """
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+        FROM customer GROUP BY c_mktsegment""",
     "retention_cohorts": """
         WITH s AS (SELECT user_id, min(ts) AS st FROM events
                    WHERE event_type = 'signup' GROUP BY user_id),
