@@ -54,7 +54,7 @@ from . import urlops as U
 from .extract import parse_page, two_level_urls
 from .lancelite import LanceLite
 from .refsim import data_uri_image_id, derive_image_id, image_record
-from .state.cuckoo import ShardedSeen
+from .state.cuckoo import ShardedSeen, retry_actor_get
 from .state.politeness import SchedulerShard
 from .synthweb import SynthWeb, WebSpec
 
@@ -473,7 +473,7 @@ def release_bucket_batch(batch: pa.Table, scheds: list, now_round: int,
         tbl = tbl.sort_by([("host", "ascending"), ("priority", "ascending"),
                            ("seq", "ascending")])
         hosts = tbl.column("host").to_pylist()
-        futs, spans = [], []
+        futs, spans, call_args = [], [], []
         i = 0
         while i < len(hosts):
             j = i
@@ -482,10 +482,15 @@ def release_bucket_batch(batch: pa.Table, scheds: list, now_round: int,
             urls = tbl.column("url").slice(i, j - i).to_pylist()
             futs.append(scheds[host_shard(hosts[i], len(scheds))]
                         .filter_and_grant.remote(hosts[i], urls, now_round))
+            call_args.append((hosts[i], urls))
             spans.append((i, j))
             i = j
         verdicts = [""] * len(hosts)
-        for (a, b), vs in zip(spans, ray.get(futs)):
+        for (a, b), fut, (h_, u_) in zip(spans, futs, call_args):
+            # grants are memoized per (host, round) — reissue is safe
+            vs = retry_actor_get(
+                fut, lambda h=h_, u=u_: scheds[host_shard(h, len(scheds))]
+                .filter_and_grant.remote(h, u, now_round))
             verdicts[a:b] = vs
         va = pa.array(verdicts, type=pa.string())
         deferred = tbl.filter(pc.equal(va, "defer"))
@@ -558,9 +563,12 @@ def presift_bucket_batch(batch: pa.Table, scheds: list, now_round: int,
              ("seq", "ascending")])
         hosts = tbl.column("host").to_pylist()
         uniq = sorted(set(hosts))
-        rules_map = dict(zip(uniq, ray.get(
-            [scheds[host_shard(h, len(scheds))].get_rules.remote(h)
-             for h in uniq])))
+        rules_map = {
+            h: retry_actor_get(
+                scheds[host_shard(h, len(scheds))].get_rules.remote(h),
+                lambda h=h: scheds[host_shard(h, len(scheds))]
+                .get_rules.remote(h))  # read-only — reissue is safe
+            for h in uniq}
         cands: list[pa.Table] = []
         defers: list[pa.Table] = []
         i = 0
@@ -897,7 +905,12 @@ class Crawler:
                 .filter_and_grant.remote(h, [urls[i] for i in idxs], rnd + 1)
         verdicts = [""] * frontier.num_rows
         for h, idxs in by_host.items():
-            for i, v in zip(idxs, ray.get(futs[h])):
+            vals = retry_actor_get(
+                futs[h],
+                lambda h=h: self.scheds[host_shard(h, len(self.scheds))]
+                .filter_and_grant.remote(
+                    h, [urls[i] for i in by_host[h]], rnd + 1))
+            for i, v in zip(idxs, vals):
                 verdicts[i] = v
         return frontier.append_column(VERDICT,
                                       pa.array(verdicts, type=pa.string()))

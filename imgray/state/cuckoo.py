@@ -32,6 +32,31 @@ import numpy as np
 import ray
 
 
+def retry_actor_get(first_ref, reissue, tries: int = 4):
+    """``ray.get`` with reissue-on-ActorUnavailable, for IDEMPOTENT
+    actor calls only.  Under host load spikes an actor RPC can exceed
+    Ray's 30 s in-order delivery window and surface
+    ActorUnavailableError ("may or may not have been executed").
+    Every call routed here is retry-idempotent by design — seen-set
+    insertions and claims are memoized per (task, batch), politeness
+    grants are memoized per (host, round), robots rules are read-only
+    — so re-issuing a fresh call is always safe."""
+    import time as _time
+
+    from ray.exceptions import ActorUnavailableError
+
+    ref = first_ref
+    for attempt in range(tries):
+        try:
+            return ray.get(ref)
+        except ActorUnavailableError:
+            if attempt == tries - 1:
+                raise
+            _time.sleep(1.0 + attempt)
+            ref = reissue()
+    raise AssertionError("unreachable")
+
+
 def _hash64(key: str) -> int:
     return int.from_bytes(
         hashlib.blake2b(key.encode(), digest_size=8).digest(), "big"
@@ -292,7 +317,7 @@ class ShardedSeen:
             return []
         scope = self._task_scope()
         by = self._route(keys)
-        futs = {}
+        futs, calls = {}, {}
         for s, idxs in by.items():
             sub = [keys[i] for i in idxs]
             bid = None
@@ -303,9 +328,14 @@ class ShardedSeen:
                     h.update(b"\x00")
                 bid = h.hexdigest()
             futs[s] = self.shards[s].check_and_insert.remote(sub, bid)
+            calls[s] = (sub, bid)
         out = [False] * len(keys)
         for s, idxs in by.items():
-            for i, novel in zip(idxs, ray.get(futs[s])):
+            vals = retry_actor_get(
+                futs[s],
+                lambda s=s: self.shards[s].check_and_insert.remote(
+                    *calls[s]))
+            for i, novel in zip(idxs, vals):
                 out[i] = novel
         return out
 
@@ -317,7 +347,7 @@ class ShardedSeen:
             return []
         scope = self._task_scope()
         by = self._route(keys)
-        futs = {}
+        futs, calls = {}, {}
         for s, idxs in by.items():
             sub_k = [keys[i] for i in idxs]
             sub_s = [seqs[i] for i in idxs]
@@ -331,9 +361,14 @@ class ShardedSeen:
                     h.update(b"\x00")
                 bid = "c" + h.hexdigest()
             futs[s] = self.shards[s].claim_min.remote(sub_k, sub_s, rnd, bid)
+            calls[s] = (sub_k, sub_s, bid)
         out = [False] * len(keys)
         for s, idxs in by.items():
-            for i, win in zip(idxs, ray.get(futs[s])):
+            vals = retry_actor_get(
+                futs[s],
+                lambda s=s: self.shards[s].claim_min.remote(
+                    calls[s][0], calls[s][1], rnd, calls[s][2]))
+            for i, win in zip(idxs, vals):
                 out[i] = win
         return out
 

@@ -163,3 +163,38 @@ def test_crawl_delay_laxer_than_rate_is_noop(ray_session):
     urls = [f"https://fast.example/p{i}" for i in range(20)]
     v = ray.get(sched.filter_and_grant.remote("fast.example", urls, 1))
     assert v.count("release") == 16  # full burst, not capped to 8
+
+
+def test_retry_actor_get_reissues(monkeypatch):
+    """retry_actor_get must re-issue the (idempotent) call on
+    ActorUnavailableError and return the eventual result; after the
+    retry budget it re-raises."""
+    from ray.exceptions import ActorUnavailableError
+
+    from imgray.state import cuckoo as ck
+
+    calls = {"get": 0, "reissue": 0}
+
+    def fake_get(ref):
+        calls["get"] += 1
+        if calls["get"] < 3:
+            raise ActorUnavailableError("transient", b"\x01" * 16)
+        return ["ok", ref]
+
+    monkeypatch.setattr(ck.ray, "get", fake_get)
+    out = ck.retry_actor_get("r0", lambda: f"r{calls['get']}")
+    assert out == ["ok", "r2"]  # two failures, two reissues
+    assert calls["get"] == 3
+
+    calls["get"] = 0
+
+    def always_fail(ref):
+        calls["get"] += 1
+        raise ActorUnavailableError("down", b"\x01" * 16)
+
+    monkeypatch.setattr(ck.ray, "get", always_fail)
+    import pytest as _pytest
+
+    with _pytest.raises(ActorUnavailableError):
+        ck.retry_actor_get("r0", lambda: "again", tries=2)
+    assert calls["get"] == 2
