@@ -1487,6 +1487,87 @@ def q_price_rank_in_priority(sf_dir: str):
     })
 
 
+def q_price_quartile_probes(sf_dir: str):
+    """Deterministic ROW_NUMBER + NTILE(4) at scale: for every 97th
+    order, its row number within its priority group under the
+    deterministic (cents, orderkey) order and its SQL NTILE(4) bucket.
+    rn−1 = count of rows lexicographically smaller on the composite
+    (cents << 32 | orderkey) key — ONE vectorized searchsorted per
+    (block, group) in ONE streaming pass (which also counts group
+    sizes); the tile is then closed-form from (rn, n): the first
+    n mod 4 buckets hold ceil(n/4) rows.  No group is sorted or
+    materialized globally."""
+    ds = _read_sized(sf_dir, "orders",
+                     ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def probe_rows(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(keys % 97 == 0))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "prio": t.column("o_orderpriority"),
+            "cents": _cents(t.column("o_totalprice")),
+        })
+
+    probes = _collect(ds.map_batches(probe_rows,
+                                     batch_format="pyarrow"))
+    pk = probes.column("o_orderkey").to_numpy(zero_copy_only=False)
+    pprio = np.array(probes.column("prio").to_pylist())
+    pcents = probes.column("cents").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    pk, pprio, pcents = pk[order], pprio[order], pcents[order]
+    groups = sorted(set(pprio.tolist()))
+    gidx = {g: i for i, g in enumerate(groups)}
+    probes_ref = ray.put((pk, pprio, pcents, groups))
+
+    def count_parts(b: pa.Table) -> pa.Table:
+        pk_, pprio_, pcents_, groups_ = ray.get(probes_ref)
+        prio = np.array(b.column("o_orderpriority").to_pylist())
+        cents = _cents(b.column("o_totalprice")).to_numpy(
+            zero_copy_only=False)
+        okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        assert (okey >= 0).all() and (okey < 1 << 32).all(), \
+            "composite key assumes orderkey < 2^32"
+        comb = (cents.astype(np.uint64) << np.uint64(32)) \
+            | okey.astype(np.uint64)
+        pcomb = (pcents_.astype(np.uint64) << np.uint64(32)) \
+            | pk_.astype(np.uint64)
+        below = np.zeros(len(pk_), dtype=np.int64)
+        gn = np.zeros(len(groups_), dtype=np.int64)
+        for i, g in enumerate(groups_):
+            vals = np.sort(comb[prio == g])
+            gn[i] = len(vals)
+            sel = pprio_ == g
+            below[sel] = np.searchsorted(vals, pcomb[sel], side="left")
+        return pa.table({"c": pa.array(
+            [below.tobytes() + gn.tobytes()], type=pa.binary())})
+
+    below = np.zeros(len(pk), dtype=np.int64)
+    gn = np.zeros(len(groups), dtype=np.int64)
+    for b in ds.map_batches(count_parts, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for raw in pa.table(b).column("c").to_pylist():
+            v = np.frombuffer(raw, dtype=np.int64)
+            below += v[: len(pk)]
+            gn += v[len(pk):]
+    rn = below + 1
+    n = gn[np.array([gidx[g] for g in pprio])]
+    k = 4
+    size_small = n // k
+    n_big = n % k
+    size_big = size_small + 1
+    boundary = n_big * size_big
+    safe_small = np.maximum(size_small, 1)  # avoid div0 when n < k
+    tile = np.where(rn <= boundary,
+                    (rn - 1) // size_big + 1,
+                    n_big + (rn - 1 - boundary) // safe_small + 1)
+    return pa.table({
+        "o_orderkey": pa.array(pk, type=pa.int64()),
+        "rn": pa.array(rn, type=pa.int64()),
+        "tile": pa.array(tile.astype(np.int64)),
+    })
+
+
 def q_priority_price_quantiles(sf_dir: str):
     """Grouped exact quantiles: median and p90 order price per order
     priority — every open (group, q) bracket shares each streaming
@@ -2259,6 +2340,7 @@ QUERIES = {
     "price_percentiles_cont": q_price_percentiles_cont,
     "qty_price_regression": q_qty_price_regression,
     "event_type_entropy": q_event_type_entropy,
+    "price_quartile_probes": q_price_quartile_probes,
     "priority_status_cube": q_priority_status_cube,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
@@ -2876,6 +2958,15 @@ ORACLE_SQL = {
                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
                     AS BIGINT) AS total_cents
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+    "price_quartile_probes": """
+        SELECT o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(ntile(4) OVER w AS BIGINT) AS tile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(round(o_totalprice*100) AS BIGINT),
+                              o_orderkey)
+        QUALIFY o_orderkey % 97 = 0""",
     "event_type_entropy": """
         WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
                    FROM events GROUP BY 1),
