@@ -1568,6 +1568,46 @@ def q_price_quartile_probes(sf_dir: str):
     })
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): 50
+    docs drawn with probability ∝ length, via per-doc keys
+    ln(u)/w with u a uniform derived from md5(doc_id) — deterministic,
+    and ln(u)/w is the monotonic equivalent of the textbook u^(1/w)
+    (exp is monotonic), chosen because Python's math.log and DuckDB's
+    ln share libm bit-for-bit while numpy's SIMD pow does not.
+    Decomposable per-block top-50 partials, driver merge — the same
+    shape as the stratified sample, no shuffle."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        ws = pc.max_element_wise(
+            b.column("n_chars"), pa.scalar(1, type=pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        keys = np.empty(len(ids), dtype=np.float64)
+        for i, (d, w) in enumerate(zip(ids, ws)):
+            u = int(hashlib.md5(str(d).encode()).hexdigest()[:13],
+                    16) / 4503599627370496.0
+            keys[i] = math.log(u) / float(w)
+        top = np.lexsort((ids, -keys))[:50]
+        t = b.take(pa.array(top))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "w": pc.max_element_wise(
+                             t.column("n_chars"),
+                             pa.scalar(1, type=pa.int64())),
+                         "key": pa.array(keys[top])})
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    keys = t.column("key").to_numpy(zero_copy_only=False)
+    top = np.lexsort((ids, -keys))[:50]
+    out = t.take(pa.array(top))
+    return pa.table({"doc_id": out.column("doc_id"),
+                     "w": out.column("w")})
+
+
 def q_priority_price_quantiles(sf_dir: str):
     """Grouped exact quantiles: median and p90 order price per order
     priority — every open (group, q) bracket shares each streaming
@@ -2341,6 +2381,7 @@ QUERIES = {
     "qty_price_regression": q_qty_price_regression,
     "event_type_entropy": q_event_type_entropy,
     "price_quartile_probes": q_price_quartile_probes,
+    "weighted_sample": q_weighted_sample,
     "priority_status_cube": q_priority_status_cube,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
@@ -2958,6 +2999,16 @@ ORACLE_SQL = {
                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
                     AS BIGINT) AS total_cents
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+    "weighted_sample": """
+        WITH k AS (
+            SELECT doc_id, greatest(n_chars, 1) AS w,
+                   ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 13)) AS UBIGINT)
+                      / 4503599627370496.0)
+                   / CAST(greatest(n_chars, 1) AS DOUBLE) AS key
+            FROM documents)
+        SELECT doc_id, CAST(w AS BIGINT) AS w
+        FROM k ORDER BY key DESC, doc_id LIMIT 50""",
     "price_quartile_probes": """
         SELECT o_orderkey,
                CAST(row_number() OVER w AS BIGINT) AS rn,
