@@ -235,3 +235,57 @@ def test_group_quantiles_match_duckdb(ray_session, seed):
     for row in got:
         k, v = want[(row["g"], row["q_bp"])]
         assert row["k"] == k and row["value"] == v, (seed, row)
+
+
+# -------------------------- temporal queries on synthesized event tables
+
+def _fake_events_dir(tmp_path, seed: int) -> str:
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(300, 900)
+    ts = (np.datetime64("2024-01-01", "us")
+          + rng.randint(0, 90 * 86400, n).astype("timedelta64[s]"))
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(rng.randint(0, 40, n), type=pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["signup", "purchase", "click", "error"], n)),
+        "value": pa.array(np.round(rng.rand(n) * 100, 2)),
+        "props": pa.array(["{}"] * n),
+    })
+    d = tmp_path / f"sf-{seed}"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [9, 42])
+@pytest.mark.parametrize("qname", ["retention_cohorts",
+                                   "signup_purchase_funnel",
+                                   "event_type_entropy"])
+def test_temporal_queries_match_duckdb_on_random_events(
+        ray_session, tmp_path, seed, qname):
+    import pandas as pd
+
+    import __ray_entry__ as em
+
+    import zlib
+
+    # zlib.crc32 is stable across processes (builtin hash() is not)
+    sf = _fake_events_dir(tmp_path, seed * 100 + zlib.crc32(
+        qname.encode()) % 97)
+    got = em.queries()[qname](sf)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(em.oracle_sql()[qname]).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want),
+                                  check_dtype=False)
