@@ -93,3 +93,24 @@ def test_image_dup_clusters_planted(ray_session):
         assert rep[p] == rep[orig], p
     t2 = _to_df(entrymod.queries()["image_dup_clusters"](SF))
     pd.testing.assert_frame_equal(t, t2)
+
+
+def test_format_cache_rebuilds_partial_export(ray_session):
+    """A scratch export dir without the _DONE sentinel (crashed half-
+    written export) must be wiped and rebuilt, not trusted."""
+    import hashlib
+    import os
+    import shutil
+
+    from imgray.pipelines.queries import q_segment_counts_csv
+
+    tag = hashlib.blake2b(SF.encode(), digest_size=6).hexdigest()
+    path = f"/tmp/imgray-src-csv-{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    with open(os.path.join(path, "junk.csv"), "w") as f:
+        f.write("not,a,valid,export\n")  # debris without _DONE
+    out = q_segment_counts_csv(SF)
+    assert out.num_rows > 0
+    assert os.path.exists(os.path.join(path, "_DONE"))
+    assert not os.path.exists(os.path.join(path, "junk.csv"))
