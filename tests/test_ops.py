@@ -433,3 +433,20 @@ def test_editdist1_pairs(ray_session):
     out2 = editdist1_pairs(ds, "s", "id")
     assert sorted(out.to_pylist(), key=str) == \
         sorted(out2.to_pylist(), key=str)
+
+
+def test_editdist1_pairs_empty_and_short(ray_session):
+    import ray.data
+
+    from imgray.ops.dedup import editdist1_pairs
+
+    # empty strings pair with each other (d=0) and with 1-char (d=1)
+    ds = ray.data.from_items([{"id": 0, "s": ""},
+                              {"id": 1, "s": ""},
+                              {"id": 2, "s": "a"},
+                              {"id": 3, "s": "xyzzy"}])
+    out = {(r["a"], r["b"]): r["dist"]
+           for r in editdist1_pairs(ds, "s", "id").to_pylist()}
+    assert out[(0, 1)] == 0
+    assert out[(0, 2)] == 1 and out[(1, 2)] == 1
+    assert not any(3 in p for p in out)

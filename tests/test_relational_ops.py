@@ -581,3 +581,35 @@ def test_salted_join_invalid_combos_rejected(ray_session):
             assert False, f"expected ValueError for {kw}"
         except ValueError:
             pass
+
+
+def test_salted_composite_join(ray_session):
+    # salting composes with composite keys (hot tuple spread + replicas)
+    rng = np.random.RandomState(3)
+    n = 600
+    hot = rng.rand(n) < 0.5
+    k1 = np.where(hot, 7, rng.randint(100, 150, n)).astype(np.int64)
+    k2 = np.where(hot, 1, rng.randint(0, 5, n)).astype(np.int64)
+    left = pa.table({"k1": pa.array(k1), "k2": pa.array(k2),
+                     "lv": pa.array(rng.randint(0, 9, n),
+                                    type=pa.int64())})
+    right = pa.table({
+        "k1": pa.array([7, 7, 120], type=pa.int64()),
+        "k2": pa.array([1, 1, 3], type=pa.int64()),
+        "rv": pa.array([10, 20, 30], type=pa.int64()),
+    })
+    plain = _hj(left, right, ["k1", "k2"], ["lv"], ["rv"],
+                num_partitions=16)
+    salted = _hj(left, right, ["k1", "k2"], ["lv"], ["rv"],
+                 num_partitions=16, salt_hot_keys=4)
+    assert plain == salted and len(plain) > 500
+
+
+def test_set_ops_empty_inputs(ray_session):
+    from imgray.ops.relational import except_keys, intersect_keys
+
+    a = pa.table({"k": pa.array([1, 2], type=pa.int64())})
+    empty = pa.table({"k": pa.array([], type=pa.int64())})
+    assert _set(intersect_keys, a, empty) == []
+    assert _set(except_keys, a, empty) == [1, 2]
+    assert _set(except_keys, empty, a) == []
