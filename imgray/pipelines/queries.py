@@ -1568,6 +1568,33 @@ def q_price_quartile_probes(sf_dir: str):
     })
 
 
+def q_price_mad(sf_dir: str):
+    """Robust statistics: median absolute deviation of the order price
+    (discrete k = ceil(n/2) median both times, so everything stays in
+    exact integer cents) — TWO composed histogram-refinement quantile
+    passes: the median of cents, then the median of |cents − median|.
+    Still no sort at any scale; the second pass streams the deviation
+    map_batches."""
+    from ..ops.relational import exact_quantiles_int
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda b: pa.table({"cents": _cents(b.column("o_totalprice"))}),
+        batch_format="pyarrow")
+    med = exact_quantiles_int(ds, "cents", [0.5]) \
+        .column("value").to_pylist()[0]
+    dev = ds.map_batches(
+        lambda b, m=med: pa.table({
+            "d": pc.abs(pc.subtract(b.column("cents"),
+                                    pa.scalar(m, type=pa.int64())))}),
+        batch_format="pyarrow")
+    mad = exact_quantiles_int(dev, "d", [0.5]) \
+        .column("value").to_pylist()[0]
+    return pa.table({
+        "median_cents": pa.array([med], type=pa.int64()),
+        "mad_cents": pa.array([mad], type=pa.int64()),
+    })
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): 50
     docs drawn with probability ∝ length, via per-doc keys
@@ -2382,6 +2409,7 @@ QUERIES = {
     "event_type_entropy": q_event_type_entropy,
     "price_quartile_probes": q_price_quartile_probes,
     "weighted_sample": q_weighted_sample,
+    "price_mad": q_price_mad,
     "priority_status_cube": q_priority_status_cube,
     "approx_distinct_orders": q_approx_distinct_orders,
     "priority_price_quantiles": q_priority_price_quantiles,
@@ -2999,6 +3027,16 @@ ORACLE_SQL = {
                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
                     AS BIGINT) AS total_cents
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+    "price_mad": """
+        WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c
+                   FROM orders),
+        med AS (SELECT c AS m FROM c ORDER BY c
+                LIMIT 1 OFFSET (SELECT (count(*) + 1) // 2 - 1 FROM c)),
+        dev AS (SELECT abs(c.c - med.m) AS d FROM c, med)
+        SELECT (SELECT m FROM med) AS median_cents,
+               (SELECT d FROM dev ORDER BY d
+                LIMIT 1 OFFSET (SELECT (count(*) + 1) // 2 - 1
+                                FROM dev)) AS mad_cents""",
     "weighted_sample": """
         WITH k AS (
             SELECT doc_id, greatest(n_chars, 1) AS w,
