@@ -563,12 +563,16 @@ def presift_bucket_batch(batch: pa.Table, scheds: list, now_round: int,
              ("seq", "ascending")])
         hosts = tbl.column("host").to_pylist()
         uniq = sorted(set(hosts))
+        # Issue every get_rules RPC up front, then collect — latency is
+        # max-of-round-trips, not sum (read-only, so reissue is safe).
+        rule_futs = {
+            h: scheds[host_shard(h, len(scheds))].get_rules.remote(h)
+            for h in uniq}
         rules_map = {
             h: retry_actor_get(
-                scheds[host_shard(h, len(scheds))].get_rules.remote(h),
-                lambda h=h: scheds[host_shard(h, len(scheds))]
-                .get_rules.remote(h))  # read-only — reissue is safe
-            for h in uniq}
+                f, lambda h=h: scheds[host_shard(h, len(scheds))]
+                .get_rules.remote(h))
+            for h, f in rule_futs.items()}
         cands: list[pa.Table] = []
         defers: list[pa.Table] = []
         i = 0

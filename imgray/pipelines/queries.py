@@ -922,11 +922,24 @@ def q_returned_late_items(sf_dir: str):
 def _format_cache(sf_dir: str, fmt: str, build) -> str:
     """Deterministic per-sf scratch export under /tmp for the
     alternate-source-format queries; built once, reused across runs
-    (the exported rows are a pure function of the parquet input)."""
+    (the exported rows are a pure function of the parquet input).
+    The cache tag folds in a fingerprint of the parquet inputs
+    (relative path, size, mtime), so regenerating the tables at the
+    same sf_dir path invalidates the cached export instead of serving
+    stale rows (ADVICE r3)."""
     import hashlib as _hl
     import os
 
-    tag = _hl.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    h = _hl.blake2b(sf_dir.encode(), digest_size=6)
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            h.update(f"{os.path.relpath(p, sf_dir)}|{st.st_size}|"
+                     f"{st.st_mtime_ns}".encode())
+    tag = h.hexdigest()
     path = f"/tmp/imgray-src-{fmt}-{tag}"
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
@@ -1528,6 +1541,8 @@ def q_price_quartile_probes(sf_dir: str):
         okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
         assert (okey >= 0).all() and (okey < 1 << 32).all(), \
             "composite key assumes orderkey < 2^32"
+        assert (cents >= 0).all() and (cents < 1 << 32).all(), \
+            "composite key assumes totalprice cents < 2^32"
         comb = (cents.astype(np.uint64) << np.uint64(32)) \
             | okey.astype(np.uint64)
         pcomb = (pcents_.astype(np.uint64) << np.uint64(32)) \

@@ -280,6 +280,18 @@ class ShardedSeen:
         self.shards = [SeenShard.remote(capacity_per_shard)
                        for _ in range(num_shards)]
         self.n = num_shards
+        # Fallback memo scope for driver/actor callers (where
+        # _task_scope() is None): a per-router uuid + call counter.
+        # Each call still gets a UNIQUE scope, and retry_actor_get's
+        # reissue closure re-sends the SAME captured bid, so a
+        # "may-or-may-not-have-executed" ActorUnavailableError replay
+        # returns the original novelty verdicts instead of seeing its
+        # own first attempt's inserts (which would yield novel=False
+        # for every seed URL and silently empty the frontier).
+        import uuid
+
+        self._fallback_scope = uuid.uuid4().hex
+        self._call_seq = 0
 
     def _route(self, keys: list[str]) -> dict[int, list[int]]:
         # crc32 is a stable, C-speed router (~20x blake2b); shard
@@ -306,6 +318,16 @@ class ShardedSeen:
         except Exception:
             return None
 
+    def _scope(self) -> str:
+        """Memo scope for this call: the Ray task id (stable across
+        task retries) inside a task, else a unique per-call scope so
+        retry_actor_get reissues are still memo-protected."""
+        scope = self._task_scope()
+        if scope is None:
+            self._call_seq += 1
+            scope = f"{self._fallback_scope}:{self._call_seq}"
+        return scope
+
     def check_and_insert(self, keys: list[str]) -> list[bool]:
         """Batched membership-insert.  Inside a Ray task the call is
         idempotent under task retry: the memo key combines the task id
@@ -315,18 +337,16 @@ class ShardedSeen:
         collide."""
         if not keys:
             return []
-        scope = self._task_scope()
+        scope = self._scope()
         by = self._route(keys)
         futs, calls = {}, {}
         for s, idxs in by.items():
             sub = [keys[i] for i in idxs]
-            bid = None
-            if scope is not None:
-                h = hashlib.blake2b(scope.encode(), digest_size=12)
-                for k in sub:
-                    h.update(k.encode())
-                    h.update(b"\x00")
-                bid = h.hexdigest()
+            h = hashlib.blake2b(scope.encode(), digest_size=12)
+            for k in sub:
+                h.update(k.encode())
+                h.update(b"\x00")
+            bid = h.hexdigest()
             futs[s] = self.shards[s].check_and_insert.remote(sub, bid)
             calls[s] = (sub, bid)
         out = [False] * len(keys)
@@ -345,21 +365,19 @@ class ShardedSeen:
         same per-(task, sub-batch) idempotence memo as check_and_insert."""
         if not keys:
             return []
-        scope = self._task_scope()
+        scope = self._scope()
         by = self._route(keys)
         futs, calls = {}, {}
         for s, idxs in by.items():
             sub_k = [keys[i] for i in idxs]
             sub_s = [seqs[i] for i in idxs]
-            bid = None
-            if scope is not None:
-                h = hashlib.blake2b(scope.encode(), digest_size=12)
-                for k, sq in zip(sub_k, sub_s):
-                    h.update(k.encode())
-                    h.update(b"\x00")
-                    h.update(sq.encode())
-                    h.update(b"\x00")
-                bid = "c" + h.hexdigest()
+            h = hashlib.blake2b(scope.encode(), digest_size=12)
+            for k, sq in zip(sub_k, sub_s):
+                h.update(k.encode())
+                h.update(b"\x00")
+                h.update(sq.encode())
+                h.update(b"\x00")
+            bid = "c" + h.hexdigest()
             futs[s] = self.shards[s].claim_min.remote(sub_k, sub_s, rnd, bid)
             calls[s] = (sub_k, sub_s, bid)
         out = [False] * len(keys)
