@@ -870,3 +870,303 @@ def auto_join(left_ds, right_ds, key: str | list[str],
         return lt.join(rt, keys=keys, join_type=jt).select(out_cols)
 
     return left_ds.map_batches(bjoin, batch_format="pyarrow")
+
+# ------------------------------------- time-series joins (as-of / range)
+#
+# Ray Data has no merge-asof / interval join; these are the custom
+# operators from the brief.  Both share one vectorized searchsorted
+# kernel over flat numpy arrays and run in either of two topologies:
+#
+#   broadcast    — the anchor side is collected once, sorted, ray.put
+#                  once, and every probe batch does the lookup locally
+#                  (zero shuffle).  Right when anchors fit the object
+#                  store.
+#   partitioned  — BOTH sides are hash-partitioned on the key in ONE
+#                  tagged-union exchange (the hash_join topology) and
+#                  the same kernel runs per partition.  Right at scale:
+#                  no side is ever materialized on the driver or
+#                  shipped whole.
+#
+# ``mode=None`` picks by a count() probe of the anchor side, exactly
+# like auto_join.  Results are identical either way (a key's probe and
+# anchor rows always meet in one partition); a forced-path equality
+# test pins that.
+
+
+def _asof_state(akey: np.ndarray, atime: np.ndarray, aval: np.ndarray):
+    """Sort anchors by (key, time, -val) and build the dense-rank
+    composite (key_rank * K + time_rank) that turns the two-level
+    (key, time <= t) lookup into ONE searchsorted over int64 — exact
+    (ranks are small ints, no float composite).  Within equal
+    (key, time) the LAST row in sort order has the SMALLEST val, so
+    the backward probe's side="right" - 1 lands on min(val) — SQL's
+    ``min(id) ... where time = max(time)`` tiebreak."""
+    order = np.lexsort((-aval, atime, akey))
+    akey, atime, aval = akey[order], atime[order], aval[order]
+    ukey = np.unique(akey)
+    utime = np.unique(atime)
+    comp = (np.searchsorted(ukey, akey).astype(np.int64)
+            * np.int64(len(utime) + 2)
+            + np.searchsorted(utime, atime).astype(np.int64))
+    return akey, aval, ukey, utime, comp
+
+
+def _asof_probe(state, pkey: np.ndarray, ptime: np.ndarray):
+    """Vectorized backward as-of lookup.  Returns (matched mask,
+    clipped anchor index) — ``aval[idx[mask]]`` is the result."""
+    akey, aval, ukey, utime, comp = state
+    lo = np.searchsorted(akey, pkey, side="left")
+    hi = np.searchsorted(akey, pkey, side="right")
+    r = np.searchsorted(ukey, pkey).clip(0, len(ukey) - 1)
+    dr = np.searchsorted(utime, ptime, side="right") - 1
+    want = r.astype(np.int64) * np.int64(len(utime) + 2) + dr
+    idx = np.searchsorted(comp, want, side="right") - 1
+    # idx can fall into the previous key's span when this key has no
+    # anchor at-or-before ptime — the (idx >= lo) guard rejects it
+    mask = (hi > lo) & (idx >= lo)
+    return mask, np.clip(idx, 0, len(aval) - 1)
+
+
+def _i64(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype("int64")
+
+
+def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
+               probe_out: str, anchor_key: str, anchor_time: str,
+               anchor_val: str, broadcast_threshold: int = 1_000_000,
+               num_partitions: int = 64, mode: str | None = None):
+    """Backward as-of inner join: each probe row is matched to the
+    anchor row of the same key with the LARGEST time at-or-before the
+    probe time (ties: smallest ``anchor_val``).  Output columns
+    ``(probe_out, anchor_val)``.  Keys and values must be integral;
+    times may be integral or timestamp (compared as int64 epoch us).
+
+    Topology picked by an anchor-side count() probe (see section
+    comment); ``mode`` forces ``"broadcast"`` or ``"partitioned"``."""
+    import ray as _ray
+
+    if mode not in (None, "broadcast", "partitioned"):
+        raise ValueError(f"bad mode: {mode!r}")
+    out_type = probe_ds.schema().base_schema.field(probe_out).type
+    val_type = anchor_ds.schema().base_schema.field(anchor_val).type
+
+    def _empty() -> pa.Table:
+        return pa.table({probe_out: pa.array([], type=out_type),
+                         anchor_val: pa.array([], type=val_type)})
+
+    if mode is None:
+        mode = ("broadcast"
+                if anchor_ds.count() <= broadcast_threshold
+                else "partitioned")
+
+    if mode == "broadcast":
+        tbls = [t for t in (_ray.get(r)
+                            for r in anchor_ds.to_arrow_refs())
+                if t.num_rows]
+        if not tbls:
+            return probe_ds.map_batches(lambda b: _empty(),
+                                        batch_format="pyarrow")
+        an = pa.concat_tables(tbls, promote_options="default")
+        state_ref = _ray.put(_asof_state(
+            _i64(an.column(anchor_key)), _i64(an.column(anchor_time)),
+            _i64(an.column(anchor_val))))
+
+        def bprobe(batch: pa.Table) -> pa.Table:
+            state = _ray.get(state_ref)
+            mask, idx = _asof_probe(state,
+                                    _i64(batch.column(probe_key)),
+                                    _i64(batch.column(probe_time)))
+            return pa.table({
+                probe_out: batch.column(probe_out).filter(pa.array(mask)),
+                anchor_val: pa.array(state[1][idx[mask]], type=val_type)})
+
+        return probe_ds.map_batches(bprobe, batch_format="pyarrow")
+
+    # partitioned: one tagged-union exchange on the key, kernel per
+    # partition — no driver materialization of either side
+    def tag_probe(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pa.array(_i64(b.column(probe_key))),
+            "_t": pa.array(_i64(b.column(probe_time))),
+            "_o": b.column(probe_out),
+            "_v": pa.nulls(b.num_rows, type=pa.int64()),
+            "_r": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            "_part": _partition_on_keys(
+                pa.table({"_k": pa.array(_i64(b.column(probe_key)))}),
+                ["_k"], num_partitions)})
+
+    def tag_anchor(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pa.array(_i64(b.column(anchor_key))),
+            "_t": pa.array(_i64(b.column(anchor_time))),
+            "_o": pa.nulls(b.num_rows, type=out_type),
+            "_v": pa.array(_i64(b.column(anchor_val))),
+            "_r": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "_part": _partition_on_keys(
+                pa.table({"_k": pa.array(_i64(b.column(anchor_key)))}),
+                ["_k"], num_partitions)})
+
+    tagged = (probe_ds.map_batches(tag_probe, batch_format="pyarrow")
+              .union(anchor_ds.map_batches(tag_anchor,
+                                           batch_format="pyarrow")))
+
+    def join_partition(part: pa.Table) -> pa.Table:
+        side = part.column("_r")
+        pr = part.filter(pc.equal(side, 0))
+        an = part.filter(pc.equal(side, 1))
+        if pr.num_rows == 0 or an.num_rows == 0:
+            return _empty()
+        state = _asof_state(_i64(an.column("_k")), _i64(an.column("_t")),
+                            _i64(an.column("_v")))
+        mask, idx = _asof_probe(state, _i64(pr.column("_k")),
+                                _i64(pr.column("_t")))
+        return pa.table({
+            probe_out: pr.column("_o").filter(pa.array(mask)),
+            anchor_val: pa.array(state[1][idx[mask]], type=val_type)})
+
+    return (tagged.groupby("_part")
+            .map_groups(join_partition, batch_format="pyarrow"))
+
+
+def _range_state(akey: np.ndarray, atime: np.ndarray, aid: np.ndarray):
+    """Sort anchors by (key, time, id) and build the same dense-rank
+    composite; probe batches locate each row's qualifying anchor
+    window with TWO searchsorteds."""
+    order = np.lexsort((aid, atime, akey))
+    akey, atime, aid = akey[order], atime[order], aid[order]
+    ukey = np.unique(akey)
+    utime = np.unique(atime)
+    comp = (np.searchsorted(ukey, akey).astype(np.int64)
+            * np.int64(len(utime) + 2)
+            + np.searchsorted(utime, atime).astype(np.int64))
+    return aid, ukey, utime, comp
+
+
+def _range_probe_counts(state, pkey: np.ndarray, ptime: np.ndarray,
+                        window: int) -> np.ndarray:
+    """Per-anchor counts of probe rows with anchor_time in
+    [ptime - window, ptime) — i.e. probe strictly after the anchor and
+    within ``window`` — via a diff-array + cumsum: ZERO pair
+    materialization."""
+    aid, ukey, utime, comp = state
+    K = np.int64(len(utime) + 2)
+    r = np.searchsorted(ukey, pkey).clip(0, len(ukey) - 1)
+    present = ukey[r] == pkey
+    dr_lo = np.searchsorted(utime, ptime - window, side="left")
+    dr_hi = np.searchsorted(utime, ptime, side="left")
+    lo = np.searchsorted(comp, r * K + dr_lo, side="left")[present]
+    hi = np.searchsorted(comp, r * K + dr_hi, side="left")[present]
+    delta = np.zeros(len(aid) + 1, dtype=np.int64)
+    np.add.at(delta, lo, 1)
+    np.add.at(delta, hi, -1)
+    return np.cumsum(delta[:-1])
+
+
+def range_follow_counts(probe_ds, anchor_ds, *, probe_key: str,
+                        probe_time: str, anchor_key: str,
+                        anchor_time: str, anchor_id: str, window: int,
+                        out_id: str, out_count: str = "n_follow",
+                        broadcast_threshold: int = 1_000_000,
+                        num_partitions: int = 64,
+                        mode: str | None = None):
+    """Range (interval) join with count aggregation: for every anchor
+    row, the number of probe rows of the SAME key with time in
+    (anchor_time, anchor_time + window].  Anchors with zero followers
+    are omitted (inner-join GROUP BY semantics).  Output columns
+    ``(out_id, out_count)``."""
+    import ray as _ray
+
+    if mode not in (None, "broadcast", "partitioned"):
+        raise ValueError(f"bad mode: {mode!r}")
+    id_type = anchor_ds.schema().base_schema.field(anchor_id).type
+    window = np.int64(window)
+
+    def _empty() -> pa.Table:
+        return pa.table({out_id: pa.array([], type=id_type),
+                         out_count: pa.array([], type=pa.int64())})
+
+    if mode is None:
+        mode = ("broadcast"
+                if anchor_ds.count() <= broadcast_threshold
+                else "partitioned")
+
+    if mode == "broadcast":
+        tbls = [t for t in (_ray.get(r)
+                            for r in anchor_ds.to_arrow_refs())
+                if t.num_rows]
+        if not tbls:
+            return probe_ds.map_batches(lambda b: _empty(),
+                                        batch_format="pyarrow")
+        an = pa.concat_tables(tbls, promote_options="default")
+        state_ref = _ray.put(_range_state(
+            _i64(an.column(anchor_key)), _i64(an.column(anchor_time)),
+            _i64(an.column(anchor_id))))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            state = _ray.get(state_ref)
+            if batch.num_rows == 0:
+                return _empty()
+            counts = _range_probe_counts(
+                state, _i64(batch.column(probe_key)),
+                _i64(batch.column(probe_time)), window)
+            nz = np.flatnonzero(counts)
+            if len(nz) == 0:
+                return _empty()
+            return pa.table({
+                out_id: pa.array(state[0][nz], type=id_type),
+                out_count: pa.array(counts[nz], type=pa.int64())})
+
+        parts = probe_ds.map_batches(partial, batch_format="pyarrow")
+        # different probe batches hit the same anchor: tiny final sum
+        g = parts.groupby(out_id).sum(out_count)
+        return g.map_batches(
+            lambda b: pa.table({
+                out_id: b.column(out_id),
+                out_count: b.column(f"sum({out_count})")}),
+            batch_format="pyarrow")
+
+    def tag_probe(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pa.array(_i64(b.column(probe_key))),
+            "_t": pa.array(_i64(b.column(probe_time))),
+            "_i": pa.nulls(b.num_rows, type=id_type),
+            "_r": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            "_part": _partition_on_keys(
+                pa.table({"_k": pa.array(_i64(b.column(probe_key)))}),
+                ["_k"], num_partitions)})
+
+    def tag_anchor(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pa.array(_i64(b.column(anchor_key))),
+            "_t": pa.array(_i64(b.column(anchor_time))),
+            "_i": b.column(anchor_id),
+            "_r": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "_part": _partition_on_keys(
+                pa.table({"_k": pa.array(_i64(b.column(anchor_key)))}),
+                ["_k"], num_partitions)})
+
+    tagged = (probe_ds.map_batches(tag_probe, batch_format="pyarrow")
+              .union(anchor_ds.map_batches(tag_anchor,
+                                           batch_format="pyarrow")))
+
+    def join_partition(part: pa.Table) -> pa.Table:
+        side = part.column("_r")
+        pr = part.filter(pc.equal(side, 0))
+        an = part.filter(pc.equal(side, 1))
+        if pr.num_rows == 0 or an.num_rows == 0:
+            return _empty()
+        state = _range_state(_i64(an.column("_k")), _i64(an.column("_t")),
+                             _i64(an.column("_i")))
+        counts = _range_probe_counts(state, _i64(pr.column("_k")),
+                                     _i64(pr.column("_t")), window)
+        nz = np.flatnonzero(counts)
+        if len(nz) == 0:
+            return _empty()
+        # a key lives wholly in one partition, so these counts are
+        # FINAL — no cross-partition combine needed
+        return pa.table({
+            out_id: pa.array(state[0][nz], type=id_type),
+            out_count: pa.array(counts[nz], type=pa.int64())})
+
+    return (tagged.groupby("_part")
+            .map_groups(join_partition, batch_format="pyarrow"))

@@ -613,3 +613,135 @@ def test_set_ops_empty_inputs(ray_session):
     assert _set(intersect_keys, a, empty) == []
     assert _set(except_keys, a, empty) == [1, 2]
     assert _set(except_keys, empty, a) == []
+
+
+def _sorted_rows(ds) -> list[tuple]:
+    tbls = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tbls:
+        return []
+    tbl = pa.concat_tables(tbls)
+    return sorted(tuple(r.values()) for r in tbl.to_pylist())
+
+
+def _asof_inputs(seed: int = 11):
+    rng = np.random.default_rng(seed)
+    n_a, n_p = 400, 1500
+    anchors = pa.table({
+        "ak": pa.array(rng.integers(0, 60, n_a), type=pa.int64()),
+        "at": pa.array(rng.integers(0, 10_000, n_a), type=pa.int64()),
+        "av": pa.array(rng.permutation(n_a).astype(np.int64)),
+    })
+    probes = pa.table({
+        "pk": pa.array(rng.integers(0, 80, n_p), type=pa.int64()),
+        "pt": pa.array(rng.integers(0, 10_000, n_p), type=pa.int64()),
+        "pid": pa.array(np.arange(n_p, dtype=np.int64)),
+    })
+    return probes, anchors
+
+
+def _asof_oracle(probes: pa.Table, anchors: pa.Table) -> list[tuple]:
+    """O(n*m) reference: latest anchor at-or-before, min av on ties."""
+    out = []
+    arows = anchors.to_pylist()
+    for p in probes.to_pylist():
+        cand = [a for a in arows
+                if a["ak"] == p["pk"] and a["at"] <= p["pt"]]
+        if not cand:
+            continue
+        best_t = max(a["at"] for a in cand)
+        best = min(a["av"] for a in cand if a["at"] == best_t)
+        out.append((p["pid"], best))
+    return sorted(out)
+
+
+def test_merge_asof_broadcast_matches_bruteforce(ray_session):
+    from imgray.ops.relational import merge_asof
+
+    probes, anchors = _asof_inputs()
+    got = _sorted_rows(merge_asof(
+        _ds(probes), _ds(anchors), probe_key="pk", probe_time="pt",
+        probe_out="pid", anchor_key="ak", anchor_time="at",
+        anchor_val="av", mode="broadcast"))
+    assert got == _asof_oracle(probes, anchors)
+
+
+def test_merge_asof_partitioned_identical_to_broadcast(ray_session):
+    """VERDICT r3 #1: the forced hash-partitioned path must produce
+    exactly the broadcast path's rows."""
+    from imgray.ops.relational import merge_asof
+
+    probes, anchors = _asof_inputs(seed=23)
+    kw = dict(probe_key="pk", probe_time="pt", probe_out="pid",
+              anchor_key="ak", anchor_time="at", anchor_val="av")
+    b = _sorted_rows(merge_asof(_ds(probes), _ds(anchors),
+                                mode="broadcast", **kw))
+    p = _sorted_rows(merge_asof(_ds(probes), _ds(anchors),
+                                mode="partitioned", num_partitions=7,
+                                **kw))
+    assert p == b and len(b) > 0
+
+
+def test_merge_asof_auto_threshold_picks_partitioned(ray_session):
+    from imgray.ops.relational import merge_asof
+
+    probes, anchors = _asof_inputs(seed=5)
+    kw = dict(probe_key="pk", probe_time="pt", probe_out="pid",
+              anchor_key="ak", anchor_time="at", anchor_val="av")
+    auto = _sorted_rows(merge_asof(_ds(probes), _ds(anchors),
+                                   broadcast_threshold=10, **kw))
+    assert auto == _asof_oracle(probes, anchors)
+
+
+def test_merge_asof_empty_anchor_side(ray_session):
+    from imgray.ops.relational import merge_asof
+
+    probes, anchors = _asof_inputs()
+    for mode in ("broadcast", "partitioned"):
+        got = _sorted_rows(merge_asof(
+            _ds(probes), _ds(anchors.slice(0, 0)), probe_key="pk",
+            probe_time="pt", probe_out="pid", anchor_key="ak",
+            anchor_time="at", anchor_val="av", mode=mode))
+        assert got == []
+
+
+def _range_inputs(seed: int = 31):
+    rng = np.random.default_rng(seed)
+    n_a, n_p = 200, 2000
+    anchors = pa.table({
+        "ak": pa.array(rng.integers(0, 40, n_a), type=pa.int64()),
+        "at": pa.array(rng.integers(0, 5_000, n_a), type=pa.int64()),
+        "aid": pa.array(np.arange(n_a, dtype=np.int64)),
+    })
+    probes = pa.table({
+        "pk": pa.array(rng.integers(0, 50, n_p), type=pa.int64()),
+        "pt": pa.array(rng.integers(0, 5_000, n_p), type=pa.int64()),
+    })
+    return probes, anchors
+
+
+def _range_oracle(probes: pa.Table, anchors: pa.Table,
+                  window: int) -> list[tuple]:
+    from collections import Counter
+
+    c: Counter = Counter()
+    prows = probes.to_pylist()
+    for a in anchors.to_pylist():
+        for p in prows:
+            if p["pk"] == a["ak"] and a["at"] < p["pt"] <= a["at"] + window:
+                c[a["aid"]] += 1
+    return sorted(c.items())
+
+
+def test_range_counts_both_modes_match_bruteforce(ray_session):
+    from imgray.ops.relational import range_follow_counts
+
+    probes, anchors = _range_inputs()
+    want = _range_oracle(probes, anchors, 300)
+    kw = dict(probe_key="pk", probe_time="pt", anchor_key="ak",
+              anchor_time="at", anchor_id="aid", window=300,
+              out_id="aid", out_count="n")
+    for mode in ("broadcast", "partitioned"):
+        got = _sorted_rows(range_follow_counts(
+            _ds(probes), _ds(anchors), mode=mode, **kw))
+        assert got == want, mode
+    assert len(want) > 0
