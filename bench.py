@@ -56,6 +56,38 @@ CRAWL_IMG_SCALE = int(os.environ.get("IMGRAY_BENCH_IMG_SCALE", "14"))
 CRAWL_HOT_ALBUMS = int(os.environ.get("IMGRAY_BENCH_HOT_ALBUMS", "300"))
 
 
+def _cpu_counters() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _timed(fn, retries: int = 0, steal_gate: float = 2.0):
+    """Run ``fn`` timing wall clock AND the window's /proc/stat steal%
+    (external-tenant CPU stolen MID-RUN — pre-run probes do not
+    predict it; see BASELINE.md).  If steal% exceeds ``steal_gate``,
+    retry up to ``retries`` times and keep the attempt with the LOWEST
+    steal, so the recorded number defends itself (VERDICT r3 #2).
+    Returns (wall_s, steal_pct, result, attempts)."""
+    attempts = []
+    for _ in range(retries + 1):
+        s0, c0 = _cpu_counters()
+        t0 = time.time()
+        res = fn()
+        wall = time.time() - t0
+        s1, c1 = _cpu_counters()
+        steal = round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2)
+        attempts.append((wall, steal, res))
+        if steal <= steal_gate:
+            break
+    wall, steal, res = min(attempts, key=lambda a: (a[1], a[0]))
+    return round(wall, 3), steal, res, len(attempts)
+
+
 def _init_ray(num_cpus: int) -> None:
     import ray
 
@@ -109,12 +141,15 @@ def run_crawl(num_cpus: int) -> dict:
     (ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4)
      .map_batches(_warm, batch_size=1).materialize())
 
+    s0, c0 = _cpu_counters()
     t0 = time.time()
     stats = cr.run()
     wall = time.time() - t0
+    s1, c1 = _cpu_counters()
     n_urls = len(cr.seen_urls())
     return {
         "wall_s": round(wall, 3),
+        "steal_pct": round(100.0 * (s1 - s0) / max(c1 - c0, 1), 2),
         "pages": stats["pages"],
         "images": stats["images"],
         "bytes": stats["bytes"],
@@ -127,33 +162,52 @@ def run_crawl(num_cpus: int) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict[str, float]:
+def run_queries(sf_dir: str, retries: int,
+                steal_gate: float) -> tuple[dict, dict, dict]:
     from imgray.pipelines.queries import QUERIES
 
     out: dict[str, float] = {}
+    steal: dict[str, float] = {}
+    tries: dict[str, int] = {}
+
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        res = QUERIES[name](sf_dir)
-        if hasattr(res, "materialize"):
-            res.materialize()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        def run(name=name):
+            res = QUERIES[name](sf_dir)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            return None
+
+        out[name], steal[name], _, tries[name] = _timed(
+            run, retries=retries, steal_gate=steal_gate)
+    return out, steal, tries
 
 
 def main_bench() -> None:
     _init_ray(NUM_CPUS)
     import ray
 
+    retries = int(os.environ.get("IMGRAY_BENCH_RETRIES", "2"))
+    steal_gate = float(os.environ.get("IMGRAY_BENCH_STEAL_GATE", "2.0"))
     t0 = time.time()
-    crawl = run_crawl(NUM_CPUS)
-    queries = run_queries(SF_DIR)
+    crawl_wall, crawl_steal, crawl, crawl_tries = _timed(
+        lambda: run_crawl(NUM_CPUS), retries=min(retries, 1),
+        steal_gate=steal_gate)
+    queries, steal, tries = run_queries(SF_DIR, retries, steal_gate)
     queries["crawl"] = crawl["wall_s"]
+    steal["crawl"] = crawl["steal_pct"]
+    tries["crawl"] = crawl_tries
     total = round(time.time() - t0, 3)
     print(json.dumps({
         "metric": "imgray bench suite (flagship crawl + query set)",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # per-leg /proc/stat steal% over each query's own window —
+        # >~2% means an external tenant polluted the number (the leg
+        # was retried up to IMGRAY_BENCH_RETRIES times for a clean
+        # window; "attempts" shows how many it took)
+        "steal_pct": steal,
+        "attempts": tries,
         "crawl": crawl,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
