@@ -138,6 +138,27 @@ def _cached_client(factory, key: str):
     return c
 
 
+_DETAIL_POOL = None
+
+
+def _detail_map(fetch, urls: list[str]):
+    """Order-preserving concurrent map over detail-page URLs on one
+    lazily-built per-process thread pool (fetch clients are
+    thread-safe: urllib opener per request, SynthWeb is read-only).
+    Pool size via IMGRAY_DETAIL_THREADS (default 8)."""
+    if len(urls) <= 1:
+        return [fetch(u) for u in urls]
+    global _DETAIL_POOL
+    if _DETAIL_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _DETAIL_POOL = ThreadPoolExecutor(
+            max_workers=int(os.environ.get("IMGRAY_DETAIL_THREADS", "8")),
+            thread_name_prefix="imgray-detail")
+    return list(_DETAIL_POOL.map(fetch, urls))
+
+
 def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict]) -> pa.Table:
     """Fetch + extract one batch of frontier rows (the reference's
     parse() body over a batch; HTML never leaves this function)."""
@@ -162,10 +183,17 @@ def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict]) -> pa.Table:
                 continue
             if p.two_level_sel is not None:
                 pairs: dict[tuple[str, str], None] = {}
-                for detail_url, _k in p.urls:
+                detail_urls = [du for du, _k in p.urls]
+                for detail_url in detail_urls:
                     out.append({"row_kind": "seen", "url": detail_url,
                                 "host": host, "seq": seq})
-                    dresp = fetch(detail_url)
+                # parallel second-level fetch (ref src/main.rs:326-335):
+                # all detail pages of one listing fetched concurrently on
+                # the per-process pool; ex.map returns responses in
+                # submission order, so extraction order — and therefore
+                # the (u2, cap) pair order and image seqs — is identical
+                # to the serial loop
+                for dresp in _detail_map(fetch, detail_urls):
                     if dresp.status != 200:
                         continue
                     for u2, cap in two_level_urls(dresp.text, p.two_level_sel, url):
