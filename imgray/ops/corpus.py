@@ -17,7 +17,12 @@ Scale notes (100 TB):
   first-P posting ids) so a stop-word's posting list cannot blow up a
   partition;
 - rare-term selection broadcasts the (vocabulary-sized) df map via
-  ``ray.put`` once instead of a per-doc shuffle join.
+  ``ray.put`` once while the vocabulary is bounded; above
+  ``vocab_threshold`` it switches to the hash-partitioned term→df
+  join (one exchange on term to attach df, per-block partial top-k,
+  one exchange on doc for the final rank) — at 100 TB of web text the
+  term universe (URLs, hashes, typos) is unbounded, so no O(vocab)
+  driver structure may exist (VERDICT r3 #5).
 """
 
 from __future__ import annotations
@@ -184,19 +189,118 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
 
 # ------------------------------------------------------ IDF-rare terms
 
+def _doc_term_df(ds, text_col: str, id_col: str, num_partitions: int,
+                 with_tf: bool):
+    """Hash-partitioned term→df join (the no-O(vocab) scale path):
+    per-doc-distinct (term, doc[, tf]) pairs are exchanged ONCE on a
+    coarse term partition; inside each partition a term run's length
+    IS its document frequency (each doc contributes one pair per
+    term), attached to every pair vectorized.  Returns
+    Dataset[{id_col, term, df[, tf]}] — no driver structure, no
+    broadcast."""
+    import numpy as np
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        terms, ids, tfs = [], [], []
+        dcol = batch.column(id_col).to_pylist()
+        for d, t in zip(dcol, batch.column(text_col).to_pylist()):
+            if with_tf:
+                for w, c in Counter(_tokens(t)).items():
+                    terms.append(w)
+                    ids.append(d)
+                    tfs.append(c)
+            else:
+                for w in set(_tokens(t)):
+                    terms.append(w)
+                    ids.append(d)
+        cols = {"term": pa.array(terms, type=pa.string()),
+                id_col: pa.array(ids, type=pa.int64())}
+        if with_tf:
+            cols["tf"] = pa.array(tfs, type=pa.int64())
+        return pa.table(cols)
+
+    def attach(part: pa.Table) -> pa.Table:  # sorted by term
+        n = part.num_rows
+        if n == 0:
+            return part.append_column("df", pa.array([], type=pa.int64()))
+        terms = np.asarray(part.column("term").to_pylist(), dtype=object)
+        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        lens = np.diff(np.concatenate([starts, [n]]))
+        df = np.repeat(lens, lens)
+        return part.append_column("df", pa.array(df, type=pa.int64()))
+
+    prs = ds.map_batches(pairs, batch_format="pyarrow")
+    return coarse_partition_groups(prs, "term", attach, num_partitions)
+
+
+def _keep_k_per_doc(tbl: pa.Table, id_col: str, sort_keys, k: int,
+                    with_rank: bool) -> pa.Table:
+    """First ``k`` rows per id under ``sort_keys`` — vectorized run
+    indexing, usable both as a per-block partial (rows for one doc may
+    span blocks; each block's local top-k contains its share of the
+    global top-k) and as the final per-doc rank after a doc-partition
+    exchange."""
+    import numpy as np
+
+    srt = tbl.sort_by([(id_col, "ascending")] + list(sort_keys))
+    n = srt.num_rows
+    if n == 0:
+        return (srt.append_column("rank", pa.array([], type=pa.int64()))
+                if with_rank else srt)
+    ids = srt.column(id_col).to_numpy(zero_copy_only=False)
+    new = np.concatenate([[True], ids[1:] != ids[:-1]])
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.concatenate([starts, [n]]))
+    runidx = np.arange(n) - np.repeat(starts, lens)
+    keep = runidx < k
+    out = srt.filter(pa.array(keep))
+    if with_rank:
+        out = out.append_column(
+            "rank", pa.array(runidx[keep] + 1, type=pa.int64()))
+    return out
+
+
 def rare_terms(ds, k: int = 3, text_col: str = "text",
-               id_col: str = "doc_id") -> pa.Table:
+               id_col: str = "doc_id", mode: str | None = None,
+               vocab_threshold: int = 2_000_000,
+               num_partitions: int = 64):
     """Per document, the ``k`` rarest distinct terms by corpus document
     frequency — the integer-deterministic core of a TF-IDF "most
     distinctive terms" selection (rank by ``(df ASC, term ASC)``; no
     float scores, so the DuckDB oracle matches bit-exactly).
 
-    Two passes: (1) the inverted-index combine yields the df map,
-    which is vocabulary-sized and broadcast once via ``ray.put``;
-    (2) one ``map_batches`` scan ranks each doc's distinct terms
-    against the broadcast map.  No per-doc shuffle join.
+    Broadcast topology (vocab ≤ ``vocab_threshold``): (1) the
+    inverted-index combine yields the df map, broadcast once via
+    ``ray.put``; (2) one ``map_batches`` scan ranks each doc's
+    distinct terms against it.  Partitioned topology (``mode=
+    "partitioned"`` or vocab above threshold — no O(vocab) driver
+    structure): term-partitioned df attach, per-block partial keep-k,
+    doc-partitioned final rank (:func:`_doc_term_df`).  Results are
+    identical; a forced-path test pins it.
     """
     import ray
+
+    if mode not in (None, "broadcast", "partitioned"):
+        raise ValueError(f"bad mode: {mode!r}")
+    if mode is None:
+        n_vocab = inverted_index(ds, text_col=text_col, id_col=id_col,
+                                 posting_cap=0).count()
+        mode = "broadcast" if n_vocab <= vocab_threshold \
+            else "partitioned"
+    if mode == "partitioned":
+        wdf = _doc_term_df(ds, text_col, id_col, num_partitions,
+                           with_tf=False)
+        sort_keys = [("df", "ascending"), ("term", "ascending")]
+        partial = wdf.map_batches(
+            lambda b: _keep_k_per_doc(b, id_col, sort_keys, k, False),
+            batch_format="pyarrow")
+        out_cols = [id_col, "rank", "term", "df"]
+        return coarse_partition_groups(
+            partial, id_col,
+            lambda p: _keep_k_per_doc(p, id_col, sort_keys, k,
+                                      True).select(out_cols),
+            num_partitions)
 
     df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
                             posting_cap=0)
@@ -229,7 +333,9 @@ def rare_terms(ds, k: int = 3, text_col: str = "text",
 
 
 def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", mode: str | None = None,
+                    vocab_threshold: int = 2_000_000,
+                    num_partitions: int = 64):
     """Per document, the ``k`` highest-TF-IDF terms with
     integer-deterministic scores: ``score = tf * idf_milli`` where
     ``idf_milli = floor(1000 * ln(N / df) + 0.5)``.
@@ -239,18 +345,55 @@ def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
     SQL oracle reproduces every score bit-exactly; ranking ties break
     on ``(score DESC, term ASC)``.
 
-    Same two-pass shape as :func:`rare_terms`: (1) the inverted-index
-    combine yields the vocabulary-sized df map, broadcast once via
-    ``ray.put``; (2) one ``map_batches`` scan computes per-doc term
-    frequencies and ranks against the broadcast map.  No per-doc
-    shuffle join.
+    Same two-topology shape as :func:`rare_terms`: broadcast df map
+    while vocab ≤ ``vocab_threshold``; above it, the hash-partitioned
+    term→df attach (with per-pair tf carried through the exchange), a
+    vectorized per-batch score pass, per-block partial keep-k, and a
+    doc-partitioned final rank — identical output, no O(vocab)
+    driver structure.
     """
     import math
     from collections import Counter
 
     import ray
 
+    if mode not in (None, "broadcast", "partitioned"):
+        raise ValueError(f"bad mode: {mode!r}")
     n_docs = ds.count()
+    if mode is None:
+        n_vocab = inverted_index(ds, text_col=text_col, id_col=id_col,
+                                 posting_cap=0).count()
+        mode = "broadcast" if n_vocab <= vocab_threshold \
+            else "partitioned"
+    if mode == "partitioned":
+        import numpy as np
+
+        wdf = _doc_term_df(ds, text_col, id_col, num_partitions,
+                           with_tf=True)
+
+        def score(batch: pa.Table) -> pa.Table:
+            dfv = batch.column("df").to_numpy(zero_copy_only=False)
+            tfv = batch.column("tf").to_numpy(zero_copy_only=False)
+            udf, inv = np.unique(dfv, return_inverse=True)
+            # same libm double log as the broadcast path / DuckDB ln
+            idf = np.array([math.floor(1000 * math.log(n_docs / d) + 0.5)
+                            for d in udf], dtype=np.int64)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "term": batch.column("term"),
+                "score": pa.array(tfv * idf[inv], type=pa.int64())})
+
+        scored = wdf.map_batches(score, batch_format="pyarrow")
+        sort_keys = [("score", "descending"), ("term", "ascending")]
+        partial = scored.map_batches(
+            lambda b: _keep_k_per_doc(b, id_col, sort_keys, k, False),
+            batch_format="pyarrow")
+        out_cols = [id_col, "rank", "term", "score"]
+        return coarse_partition_groups(
+            partial, id_col,
+            lambda p: _keep_k_per_doc(p, id_col, sort_keys, k,
+                                      True).select(out_cols),
+            num_partitions)
     df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
                             posting_cap=0)
     df_map = {}

@@ -7,7 +7,7 @@ test_queries.py.
 import pyarrow as pa
 
 from imgray.ops.corpus import (inverted_index, ngram_counts, rare_terms,
-                               repetition_stats_batch)
+                               repetition_stats_batch, tfidf_top_terms)
 from imgray.ops.text import pii_scrub, pii_scrub_batch
 
 
@@ -116,3 +116,54 @@ def test_rare_terms_rank_order(ray_session):
         ("rare1", 1), ("rare2", 1), ("mid", 2)]
     doc2 = [r for r in t.to_pylist() if r["doc_id"] == 2]
     assert len(doc2) == 1 and doc2[0]["term"] == "common"
+
+
+def _rows_set(dsout) -> set:
+    tbls = [pa.table(b) for b in dsout.iter_batches(batch_format="pyarrow")]
+    if not tbls:
+        return set()
+    cols = sorted(tbls[0].column_names)
+    out = set()
+    for t in tbls:
+        out.update(zip(*[t.column(c).to_pylist() for c in cols]))
+    return out
+
+
+def test_rare_terms_partitioned_identical_to_broadcast(ray_session):
+    """VERDICT r3 #5: the hash-partitioned term→df path (no O(vocab)
+    broadcast) must produce exactly the broadcast path's rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{j}" for j in range(120)]
+    docs = [(i, " ".join(rng.choice(vocab,
+                                    size=rng.integers(3, 25)).tolist()))
+            for i in range(150)]
+    ds = _ds(docs)
+    b = _rows_set(rare_terms(_ds(docs), k=3, mode="broadcast"))
+    p = _rows_set(rare_terms(ds, k=3, mode="partitioned",
+                             num_partitions=7))
+    assert p == b and len(b) > 0
+
+
+def test_tfidf_partitioned_identical_to_broadcast(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    vocab = [f"t{j}" for j in range(80)]
+    docs = [(i, " ".join(rng.choice(vocab,
+                                    size=rng.integers(2, 30)).tolist()))
+            for i in range(120)]
+    b = _rows_set(tfidf_top_terms(_ds(docs), k=3, mode="broadcast"))
+    p = _rows_set(tfidf_top_terms(_ds(docs), k=3, mode="partitioned",
+                                  num_partitions=5))
+    assert p == b and len(b) > 0
+
+
+def test_rare_terms_auto_threshold_picks_partitioned(ray_session):
+    ds = _ds([(0, "a b c"), (1, "a d"), (2, "a e f")])
+    got = _rows_set(rare_terms(ds, k=2, vocab_threshold=2))
+    want = _rows_set(rare_terms(_ds([(0, "a b c"), (1, "a d"),
+                                     (2, "a e f")]), k=2,
+                                mode="broadcast"))
+    assert got == want and len(got) > 0
