@@ -159,9 +159,23 @@ def _detail_map(fetch, urls: list[str]):
     return list(_DETAIL_POOL.map(fetch, urls))
 
 
-def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict]) -> pa.Table:
+def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict],
+                     album_gate=None) -> pa.Table:
     """Fetch + extract one batch of frontier rows (the reference's
-    parse() body over a batch; HTML never leaves this function)."""
+    parse() body over a batch; HTML never leaves this function).
+
+    ``album_gate`` replicates the reference's interactive Y/N/All/
+    Cancel album prompt (ref src/main.rs:412-468) as a DETERMINISTIC
+    config hook: ``gate(label, index, n_albums, page_url) ->
+    "y"|"n"|"all"|"cancel"`` called per album link in DOM order
+    (label = title/alt/aria-label attr else element text).  Verdicts,
+    as the reference: y/yes/"" admit this album; n/no skips it AND
+    drops the listing's next-page link; a/all admits this and every
+    remaining album unprompted; anything else cancels the remaining
+    albums AND drops the next link.  The hook must be a pure function
+    (it is serialized to workers and may be re-invoked on task retry);
+    ``None`` (default) behaves like the reference's non-interactive
+    "All"."""
     out: list[dict] = []
     for row in batch.select(["url", "host", "seq", "depth", "kind"]).to_pylist():
             url, host, seq = row["url"], row["host"], row["seq"]
@@ -209,14 +223,42 @@ def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict]) -> pa.Table:
                     out.append({"row_kind": "img", "url": u2, "host": host,
                                 "seq": f"{seq}.i{i:08d}", "kind": k2,
                                 "album": p.album_title, "caption": ""})
-            for j, href in enumerate(p.album_hrefs):
+            drop_next = False
+            if album_gate is not None and p.album_hrefs:
+                hrefs, labels = [], []
+                all_mode = False
+                n_alb = len(p.album_hrefs)
+                albs = list(zip(p.album_hrefs,
+                                (p.album_labels or [""] * n_alb)))
+                for i, (href, label) in enumerate(albs):
+                    if all_mode:
+                        hrefs.append(href)
+                        labels.append(label)
+                        continue
+                    v = str(album_gate(label, i, n_alb, url)).strip().lower()
+                    if v in ("y", "yes", ""):
+                        hrefs.append(href)
+                        labels.append(label)
+                    elif v in ("n", "no"):
+                        drop_next = True  # ref :455: next_sel = None
+                    elif v in ("a", "all"):
+                        all_mode = True
+                        hrefs.append(href)
+                        labels.append(label)
+                    else:  # cancel: stop the chain (ref :462-466)
+                        drop_next = True
+                        break
+                album_hrefs = hrefs
+            else:
+                album_hrefs = p.album_hrefs
+            for j, href in enumerate(album_hrefs):
                 ahost = U.check_host(href)
                 if ahost is None:
                     continue
                 out.append({"row_kind": "link", "url": href, "host": ahost,
                             "seq": seq_child(seq, j), "depth": depth + 1,
                             "kind": "album"})
-            if p.next_url:
+            if p.next_url and not drop_next:
                 nhost = U.check_host(p.next_url)
                 if nhost is not None:
                     out.append({"row_kind": "link", "url": p.next_url,
@@ -229,19 +271,22 @@ class PageParser:
     """Fetch + extract actor (stateful: fetch client + site config built
     once per actor — SURVEY.md §2.3).  Actor-pool mode."""
 
-    def __init__(self, fetcher_factory, site_cfg: list[dict]):
+    def __init__(self, fetcher_factory, site_cfg: list[dict],
+                 album_gate=None):
         self.fetch = fetcher_factory()
         self.cfg = site_cfg
+        self.album_gate = album_gate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return parse_page_batch(batch, self.fetch, self.cfg)
+        return parse_page_batch(batch, self.fetch, self.cfg,
+                                album_gate=self.album_gate)
 
 
 def parse_page_task(batch: pa.Table, fetcher_factory, client_key: str,
-                    site_cfg: list[dict]) -> pa.Table:
+                    site_cfg: list[dict], album_gate=None) -> pa.Table:
     """Task-mode stage: client memoized per worker process."""
     return parse_page_batch(batch, _cached_client(fetcher_factory, client_key),
-                            site_cfg)
+                            site_cfg, album_gate=album_gate)
 
 
 def gate_batch(batch: pa.Table, seen: ShardedSeen,
@@ -793,6 +838,10 @@ class CrawlerConfig:
     # docstring's single-chain caveat; key the written gate on min-seq if
     # strict parity is ever needed there)
     priority_by_depth: bool = True
+    # album-gate hook (ref src/main.rs:412-468 Y/N/All/Cancel prompt as
+    # a deterministic, serializable callable; see parse_page_batch):
+    # gate(label, index, n_albums, page_url) -> "y"|"n"|"all"|"cancel"
+    album_gate: object = None
     # tiny rounds (seed round, drain tail) run their fetch→gate→sink
     # inline on the driver in pipelined mode: a streaming execution has
     # ~0.5-1s of fixed launch/drain cost, pure overhead for a handful
@@ -1101,11 +1150,13 @@ class Crawler:
                 PageParser, batch_format="pyarrow",
                 batch_size=cfg.fetch_batch,
                 concurrency=(1, cfg.fetch_concurrency),
-                fn_constructor_args=(cfg.fetcher_factory, cfg.site_cfg))
+                fn_constructor_args=(cfg.fetcher_factory, cfg.site_cfg,
+                                     cfg.album_gate))
         else:
             fetched = rel_ds.map_batches(
                 partial(parse_page_task, fetcher_factory=cfg.fetcher_factory,
-                        client_key=self._client_key, site_cfg=cfg.site_cfg),
+                        client_key=self._client_key, site_cfg=cfg.site_cfg,
+                        album_gate=cfg.album_gate),
                 batch_format="pyarrow", batch_size=cfg.fetch_batch)
         data_dir = self.sink.data_dir
         strict = cfg.strict_name_dedup
@@ -1130,7 +1181,7 @@ class Crawler:
             ex = parse_page_batch(
                 released, _cached_client(cfg.fetcher_factory,
                                          self._client_key),
-                cfg.site_cfg)
+                cfg.site_cfg, album_gate=cfg.album_gate)
             g = gate_batch(ex, self.seen, spill_dir=spill_dir,
                            rnd=rnd, nb=nb)
             frag_rows = image_sink_task(

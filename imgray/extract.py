@@ -34,6 +34,10 @@ class PageParse:
     # sites, src/main.rs:367 — json selectors always contain " | ")
     post_urls: list[tuple[str, str]] = field(default_factory=list)
     album_hrefs: list[str] = field(default_factory=list)
+    # prompt label per album href (ref :417-431: first of title/alt/
+    # aria-label attrs, else trimmed element text) — consumed by the
+    # CrawlerConfig.album_gate hook
+    album_labels: list[str] = field(default_factory=list)
     next_url: str = ""
     counters: dict = field(default_factory=dict)
 
@@ -192,6 +196,7 @@ def parse_page(html: str, addr: str, cfg_entry: dict | None) -> PageParse:
             href = _album_href(alb)
             if href:
                 r.album_hrefs.append(U.canonicalize(href, addr))
+                r.album_labels.append(_album_label(alb))
 
     # next page (ref :475-497)
     if next_sel is None:
@@ -248,6 +253,18 @@ def _css_scan(html: str, addr: str) -> dict[str, None]:
 
     scan(html)
     return out
+
+
+def _album_label(alb: Element) -> str:
+    """Album prompt label (ref :417-431): first of the title/alt/
+    aria-label attrs, else the element's trimmed text ("" where the
+    reference would quit — the gate hook decides)."""
+    for a in ("title", "alt", "aria-label"):
+        v = alb.attr(a)
+        if v is not None:
+            return v.strip()
+    t = alb.text()
+    return t.strip() if t else ""
 
 
 def _album_href(alb: Element) -> str | None:

@@ -70,10 +70,13 @@ def derive_image_id(dirname: str, img_url: str, caption: str,
 
 
 class RefSim:
-    def __init__(self, web: SynthWeb, config: list[dict]):
+    def __init__(self, web: SynthWeb, config: list[dict],
+                 album_gate=None):
         self.web = web
         self.config = config
         self.r = RefResult()
+        # Y/N/All/Cancel album prompt (ref :412-468); None = "All"
+        self.album_gate = album_gate
 
     def crawl(self, seed_urls: list[str]) -> RefResult:
         for s in seed_urls:
@@ -113,12 +116,36 @@ class RefSim:
         elif p.urls:
             self._download(p.album_title, [(u, "", k) for (u, k) in p.urls])
 
-        for href in p.album_hrefs:
+        album_hrefs = p.album_hrefs
+        drop_next = False
+        if self.album_gate is not None and album_hrefs:
+            hrefs = []
+            all_mode = False
+            n_alb = len(album_hrefs)
+            labels = p.album_labels or [""] * n_alb
+            for i, (href, label) in enumerate(zip(album_hrefs, labels)):
+                if all_mode:
+                    hrefs.append(href)
+                    continue
+                v = str(self.album_gate(label, i, n_alb, addr)) \
+                    .strip().lower()
+                if v in ("y", "yes", ""):
+                    hrefs.append(href)
+                elif v in ("n", "no"):
+                    drop_next = True  # ref :455: next_sel = None
+                elif v in ("a", "all"):
+                    all_mode = True
+                    hrefs.append(href)
+                else:  # cancel (ref :462-466)
+                    drop_next = True
+                    break
+            album_hrefs = hrefs
+        for href in album_hrefs:
             nxt = self.parse(href)
             while nxt:
                 nxt = self.parse(nxt)
 
-        return p.next_url
+        return "" if drop_next else p.next_url
 
     def _download(self, dirname: str, items: list[tuple[str, str, str]]):
         d = U.sanitize_dir(dirname)

@@ -320,3 +320,46 @@ def test_salted_release_parity(ray_session, tmp_path_factory):
                 r"MapBatches\(presift_bucket_batch\).*?(\d+) tasks executed",
                 open(p).read())]
     assert ntasks and max(ntasks) >= 2, ntasks
+
+
+# ------------------------------------------------- album gate (Y/N/All/Cancel)
+
+def test_album_gate_parity(ray_session, tmp_path):
+    # nested def: cloudpickle serializes it by VALUE, so Ray workers
+    # don't need this test module importable
+    def _gate(label, i, n_albums, page_url):
+        """Deterministic stand-in for the reference's interactive
+        prompt (ref src/main.rs:412-468): exercises every verdict."""
+        if "a10" in label:
+            return "n"        # skip + drop the listing's next link
+        if "a21" in label:
+            return "CANCEL"   # cancel remaining albums + drop next
+        if i == 0:
+            return "yes"
+        return "all"
+
+    spec = default_spec(scale=1)
+    ref = RefSim(SynthWeb(spec), site_config(spec),
+                 album_gate=_gate).crawl(seeds(spec))
+    ref_all = RefSim(SynthWeb(spec), site_config(spec)).crawl(seeds(spec))
+    # the gate must actually prune something, or this test is vacuous
+    assert len(ref.visit_order) < len(ref_all.visit_order)
+
+    cfg = CrawlerConfig(
+        root=str(tmp_path / "gated"),
+        fetcher_factory=partial(make_synth_fetcher, spec),
+        site_cfg=site_config(spec),
+        rate_per_round=8.0,
+        burst=16.0,
+        album_gate=_gate,
+    )
+    cr = Crawler(cfg)
+    cr.seed(seeds(spec))
+    cr.run()
+    assert cr.visit_order() == ref.visit_order
+    assert cr.seen_urls() == ref.seen
+    got = {r["image_id"]: r for r in cr.images_table().to_pylist()}
+    assert set(got) == set(ref.images)
+    for iid, want in ref.images.items():
+        assert got[iid]["bytes"] == want["bytes"], iid
+        assert got[iid]["caption"] == want["caption"], iid
