@@ -809,6 +809,10 @@ class CrawlerConfig:
     # resolve first-come (the (album,url,caption) gate still dedups
     # exact duplicates)
     strict_name_dedup: bool = True
+    # per-shard exact-seen RAM budget (keys); above it the shard spills
+    # its exact set to sorted parquet runs under ckpt/seen-spill and
+    # probes them behind the cuckoo gate.  None = unbounded RAM
+    seen_ram_cap: int | None = None
     # frontier release / link admission: below this row count they run
     # driver-side (same politeness actors / same min-seq semantics, no
     # extra Ray job — the vectorized Arrow path handles ~250k rows in
@@ -864,7 +868,15 @@ class Crawler:
                                      S.IMAGES)
         self.ckpt = os.path.join(cfg.root, "ckpt")
         os.makedirs(self.ckpt, exist_ok=True)
-        self.seen = ShardedSeen(cfg.seen_shards)
+        self.seen = ShardedSeen(
+            cfg.seen_shards,
+            # exact-set paging to sorted on-disk runs (10^10-URL shape;
+            # None = all-RAM).  Runs live beside the checkpoint but are
+            # actor-local scratch: resume replays the per-round key
+            # deltas, re-sharded by the CURRENT seen_shards count
+            spill_dir=(os.path.join(self.ckpt, "seen-spill")
+                       if cfg.seen_ram_cap else None),
+            ram_cap=cfg.seen_ram_cap)
         import uuid as _uuid
 
         self._client_key = _uuid.uuid4().hex  # per-crawl client memo key

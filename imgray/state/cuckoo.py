@@ -134,15 +134,99 @@ class CuckooFilter:
         self.count += 1
 
 
+class SortedRuns:
+    """On-disk sorted string-key runs — the per-shard exact-set spill
+    for 10^10-URL scale (VERDICT r3 #7).  Each spill writes ONE sorted
+    parquet run (fixed row groups); membership probes binary-search the
+    in-RAM per-row-group (min, max) bounds, load at most one row group
+    per run (LRU-cached), and binary-search inside it.  Probes only
+    happen behind the cuckoo gate, and the shard's RAM set keeps the
+    hot recent tail, so cold-run reads are rare."""
+
+    RG = 4096
+    CACHE = 64
+
+    def __init__(self, dir_path: str):
+        import os
+        import shutil
+
+        # runs are shard-process-local state, NOT checkpoint ground
+        # truth (that is the per-round delta parquet) — a fresh actor
+        # starts empty and repopulates via restore()
+        shutil.rmtree(dir_path, ignore_errors=True)
+        os.makedirs(dir_path, exist_ok=True)
+        self.dir = dir_path
+        self.runs: list[tuple[str, list[str], list[str]]] = []
+        self._cache: dict[tuple[str, int], list[str]] = {}
+        self._order: list[tuple[str, int]] = []
+
+    def spill(self, keys: set[str]) -> None:
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arr = sorted(keys)
+        if not arr:
+            return
+        path = os.path.join(self.dir, f"run-{len(self.runs):05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"key": pa.array(arr, type=pa.string())}),
+                       tmp, row_group_size=self.RG)
+        os.replace(tmp, path)
+        mins = [arr[i] for i in range(0, len(arr), self.RG)]
+        maxs = [arr[min(i + self.RG, len(arr)) - 1]
+                for i in range(0, len(arr), self.RG)]
+        self.runs.append((path, mins, maxs))
+
+    def _row_group(self, path: str, rg: int) -> list[str]:
+        import pyarrow.parquet as pq
+
+        ck = (path, rg)
+        got = self._cache.get(ck)
+        if got is None:
+            got = pq.ParquetFile(path).read_row_group(rg) \
+                .column("key").to_pylist()
+            self._cache[ck] = got
+            self._order.append(ck)
+            if len(self._order) > self.CACHE:
+                self._cache.pop(self._order.pop(0), None)
+        return got
+
+    def contains(self, key: str) -> bool:
+        import bisect
+
+        for path, mins, maxs in reversed(self.runs):
+            i = bisect.bisect_right(mins, key) - 1
+            if i < 0 or key > maxs[i]:
+                continue
+            keys = self._row_group(path, i)
+            j = bisect.bisect_left(keys, key)
+            if j < len(keys) and keys[j] == key:
+                return True
+        return False
+
+
 @ray.remote(num_cpus=0)
 class SeenShard:
-    """One shard of the global seen set (cuckoo gate + exact backing)."""
+    """One shard of the global seen set (cuckoo gate + exact backing).
+
+    With ``spill_dir`` + ``ram_cap`` set, the exact backing set pages
+    to sorted on-disk runs once it exceeds ``ram_cap`` keys — the
+    10^10-URL shape the module docstring promises — while the cuckoo
+    filter (no false negatives) stays in RAM as the fast gate; exact
+    probes behind a cuckoo positive fall through RAM to the runs.
+    Default (both None) keeps the all-RAM behavior."""
 
     MEMO_CAP = 1024  # retried-task replay window per shard
 
-    def __init__(self, capacity: int = 1 << 18):
+    def __init__(self, capacity: int = 1 << 18,
+                 spill_dir: str | None = None,
+                 ram_cap: int | None = None):
         self.cf = CuckooFilter(capacity)
         self.exact: set[str] = set()
+        self.ram_cap = ram_cap
+        self.runs = SortedRuns(spill_dir) if spill_dir else None
         self.delta: list[str] = []  # novel keys since last drain (checkpoint)
         # batch_id → verdicts: makes gate calls idempotent so a Ray task
         # retry replays the SAME novelty verdicts instead of seeing its
@@ -154,6 +238,16 @@ class SeenShard:
         # winner within the current round (their fragments need repair)
         self.claims: dict[str, tuple[int, str]] = {}
         self.contested: set[str] = set()
+
+    def _exact_contains(self, k: str) -> bool:
+        return k in self.exact or (self.runs is not None
+                                   and self.runs.contains(k))
+
+    def _maybe_spill(self) -> None:
+        if (self.runs is not None and self.ram_cap is not None
+                and len(self.exact) > self.ram_cap):
+            self.runs.spill(self.exact)
+            self.exact = set()
 
     def check_and_insert(self, keys: list[str],
                          batch_id: str | None = None) -> list[bool]:
@@ -167,13 +261,14 @@ class SeenShard:
         out = []
         for k in keys:
             h = _hash64(k)
-            if self.cf.contains_hash(h) and k in self.exact:
+            if self.cf.contains_hash(h) and self._exact_contains(k):
                 out.append(False)
             else:
                 self.cf.insert_hash(h)
                 self.exact.add(k)
                 self.delta.append(k)
                 out.append(True)
+        self._maybe_spill()
         if batch_id is not None:
             self.memo[batch_id] = out
             self.memo_order.append(batch_id)
@@ -201,7 +296,8 @@ class SeenShard:
         for k, s in zip(keys, seqs):
             c = self.claims.get(k)
             if c is None:
-                if self.cf.contains_hash(_hash64(k)) and k in self.exact:
+                if self.cf.contains_hash(_hash64(k)) \
+                        and self._exact_contains(k):
                     out.append(False)  # won in a committed earlier round
                 else:
                     self.claims[k] = (rnd, s)
@@ -219,6 +315,7 @@ class SeenShard:
                     self.claims[k] = (rnd, s)
                     self.contested.add(k)
                     out.append(True)
+        self._maybe_spill()
         if batch_id is not None:
             self.memo[batch_id] = out
             self.memo_order.append(batch_id)
@@ -243,11 +340,16 @@ class SeenShard:
 
     def restore(self, keys: list[str]) -> int:
         """Resume path: repopulate from a checkpoint without recording
-        deltas."""
+        deltas.  Routing happens client-side by the CURRENT shard
+        count, so resuming with a different ``num_shards`` re-shards
+        the seen set automatically (the checkpoint stores flat key
+        deltas, never shard assignments)."""
         for k in keys:
-            if k not in self.exact:
+            if not (self.cf.contains_hash(_hash64(k))
+                    and self._exact_contains(k)):
                 self.cf.insert_hash(_hash64(k))
                 self.exact.add(k)
+        self._maybe_spill()
         return len(self.exact)
 
     def drain_delta(self) -> list[str]:
@@ -270,15 +372,23 @@ class SeenShard:
 
     def stats(self) -> dict:
         return {"exact": len(self.exact), "cuckoo": self.cf.count,
-                "spill": len(self.cf.spill)}
+                "spill": len(self.cf.spill),
+                "runs": len(self.runs.runs) if self.runs else 0}
 
 
 class ShardedSeen:
     """Client router: hash-partition keys, one batched call per shard."""
 
-    def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 18):
-        self.shards = [SeenShard.remote(capacity_per_shard)
-                       for _ in range(num_shards)]
+    def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 18,
+                 spill_dir: str | None = None,
+                 ram_cap: int | None = None):
+        self.shards = [
+            SeenShard.remote(
+                capacity_per_shard,
+                spill_dir=(f"{spill_dir}/shard-{i:02d}" if spill_dir
+                           else None),
+                ram_cap=ram_cap)
+            for i in range(num_shards)]
         self.n = num_shards
         # Fallback memo scope for driver/actor callers (where
         # _task_scope() is None): a per-router uuid + call counter.
