@@ -650,7 +650,58 @@ def q_rare_terms(sf_dir: str):
     from ..ops.corpus import rare_terms
 
     ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
-    return _collect(rare_terms(ds, k=3))
+    return _collect(rare_terms(ds, k=3, mode="broadcast"))
+
+
+def q_rare_terms_partitioned(sf_dir: str):
+    """SCALE-PATH conformance twin of rare_terms: the FORCED
+    hash-partitioned term→df topology (no O(vocab) driver structure —
+    VERDICT r3 #5) against the SAME oracle."""
+    from ..ops.corpus import rare_terms
+
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(rare_terms(ds, k=3, mode="partitioned"))
+
+
+def q_tfidf_partitioned(sf_dir: str):
+    """SCALE-PATH conformance twin of tfidf_top_terms (forced
+    partitioned term→df + doc-partitioned rank)."""
+    from ..ops.corpus import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _collect(tfidf_top_terms(ds, k=3, mode="partitioned"))
+
+
+def q_asof_join_partitioned(sf_dir: str):
+    """SCALE-PATH conformance twin of asof_join: the FORCED
+    hash-partitioned merge-asof topology (one tagged-union exchange,
+    kernel per partition — VERDICT r3 #1) against the SAME oracle."""
+    from ..ops.relational import merge_asof
+
+    return _collect(merge_asof(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        probe_key="user_id", probe_time="ts", probe_out="event_id",
+        anchor_key="o_custkey", anchor_time="o_orderdate",
+        anchor_val="o_orderkey", mode="partitioned"))
+
+
+def q_range_join_counts_partitioned(sf_dir: str):
+    """SCALE-PATH conformance twin of range_join_counts (forced
+    key-partitioned exchange; per-partition counts are final)."""
+    import pyarrow.dataset as pads
+
+    from ..ops.relational import range_follow_counts
+
+    anchors = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == "purchase")
+    return _collect(range_follow_counts(
+        _read(sf_dir, "events", ["user_id", "ts"]), anchors,
+        probe_key="user_id", probe_time="ts",
+        anchor_key="user_id", anchor_time="ts", anchor_id="event_id",
+        window=6 * 3600 * 1_000_000, out_id="event_id",
+        out_count="n_follow", mode="partitioned"))
 
 
 def q_customers_no_orders(sf_dir: str):
@@ -919,14 +970,11 @@ def q_returned_late_items(sf_dir: str):
                               ["qty"], ["price_cents"]))
 
 
-def _format_cache(sf_dir: str, fmt: str, build) -> str:
-    """Deterministic per-sf scratch export under /tmp for the
-    alternate-source-format queries; built once, reused across runs
-    (the exported rows are a pure function of the parquet input).
-    The cache tag folds in a fingerprint of the parquet inputs
-    (relative path, size, mtime), so regenerating the tables at the
-    same sf_dir path invalidates the cached export instead of serving
-    stale rows (ADVICE r3)."""
+def _format_cache_path(sf_dir: str, fmt: str) -> str:
+    """Scratch-export dir for one (input dir, format): the tag folds
+    in a fingerprint of the parquet inputs (relative path, size,
+    mtime) so regenerated tables invalidate stale exports (ADVICE
+    r3)."""
     import hashlib as _hl
     import os
 
@@ -939,8 +987,20 @@ def _format_cache(sf_dir: str, fmt: str, build) -> str:
             st = os.stat(p)
             h.update(f"{os.path.relpath(p, sf_dir)}|{st.st_size}|"
                      f"{st.st_mtime_ns}".encode())
-    tag = h.hexdigest()
-    path = f"/tmp/imgray-src-{fmt}-{tag}"
+    return f"/tmp/imgray-src-{fmt}-{h.hexdigest()}"
+
+
+def _format_cache(sf_dir: str, fmt: str, build) -> str:
+    """Deterministic per-sf scratch export under /tmp for the
+    alternate-source-format queries; built once, reused across runs
+    (the exported rows are a pure function of the parquet input).
+    The cache tag folds in a fingerprint of the parquet inputs
+    (relative path, size, mtime), so regenerating the tables at the
+    same sf_dir path invalidates the cached export instead of serving
+    stale rows (ADVICE r3)."""
+    import os
+
+    path = _format_cache_path(sf_dir, fmt)
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         import shutil
@@ -2322,7 +2382,11 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "inverted_index": q_inverted_index,
     "rare_terms": q_rare_terms,
+    "rare_terms_partitioned": q_rare_terms_partitioned,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "tfidf_partitioned": q_tfidf_partitioned,
+    "asof_join_partitioned": q_asof_join_partitioned,
+    "range_join_counts_partitioned": q_range_join_counts_partitioned,
     "customers_no_orders": q_customers_no_orders,
     "price_quantiles": q_price_quantiles,
     "parts_with_bulk_orders": q_parts_with_bulk_orders,
@@ -3314,6 +3378,13 @@ def _ann_topk_sql() -> str:
                CAST(round(cos * 1000000) AS BIGINT) AS cos_u
         FROM ranked WHERE rank < 5"""
 
+
+# scale-path twins share their base queries' oracles verbatim
+ORACLE_SQL["rare_terms_partitioned"] = ORACLE_SQL["rare_terms"]
+ORACLE_SQL["tfidf_partitioned"] = ORACLE_SQL["tfidf_top_terms"]
+ORACLE_SQL["asof_join_partitioned"] = ORACLE_SQL["asof_join"]
+ORACLE_SQL["range_join_counts_partitioned"] = \
+    ORACLE_SQL["range_join_counts"]
 
 ORACLE_SQL["ann_topk"] = _ann_topk_sql()
 

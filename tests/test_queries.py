@@ -98,14 +98,13 @@ def test_image_dup_clusters_planted(ray_session):
 def test_format_cache_rebuilds_partial_export(ray_session):
     """A scratch export dir without the _DONE sentinel (crashed half-
     written export) must be wiped and rebuilt, not trusted."""
-    import hashlib
     import os
     import shutil
 
-    from imgray.pipelines.queries import q_segment_counts_csv
+    from imgray.pipelines.queries import (_format_cache_path,
+                                          q_segment_counts_csv)
 
-    tag = hashlib.blake2b(SF.encode(), digest_size=6).hexdigest()
-    path = f"/tmp/imgray-src-csv-{tag}"
+    path = _format_cache_path(SF, "csv")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     with open(os.path.join(path, "junk.csv"), "w") as f:
