@@ -282,3 +282,38 @@ def test_seen_reshard_on_resume(ray_session, tmp_path):
     assert cr2.visit_order() == base.visit_order()
     assert cr2.seen_urls() == base.seen_urls()
     assert img_bytes(cr2) == img_bytes(base)
+
+
+def test_driver_context_reissue_replays_verdicts(ray_session):
+    """ADVICE r3 (medium): driver-context ShardedSeen calls carry a
+    per-call memo scope, so an ActorUnavailableError reissue (same
+    bid) replays the ORIGINAL novelty verdicts — seeds can't silently
+    come back novel=False — while a genuine second call (new scope)
+    correctly sees duplicates."""
+    import ray
+
+    from imgray.state.cuckoo import ShardedSeen
+
+    ss = ShardedSeen(num_shards=1)
+    keys = [f"u:https://seed{i}.example/" for i in range(5)]
+
+    first = ss.check_and_insert(keys)
+    assert first == [True] * 5
+
+    # a fresh driver call = new scope = new bid: duplicates detected
+    again = ss.check_and_insert(keys)
+    assert again == [False] * 5
+
+    # simulate the retry_actor_get reissue: replaying the SAME bid the
+    # router would re-send must return the memoized first verdicts
+    # even though the keys are long inserted
+    import hashlib
+
+    scope = f"{ss._fallback_scope}:1"  # the first call's fallback scope
+    h = hashlib.blake2b(scope.encode(), digest_size=12)
+    for k in keys:
+        h.update(k.encode())
+        h.update(b"\x00")
+    replay = ray.get(ss.shards[0].check_and_insert.remote(keys,
+                                                          h.hexdigest()))
+    assert replay == [True] * 5
