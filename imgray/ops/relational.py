@@ -931,6 +931,17 @@ def _i64(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype("int64")
 
 
+def _key_arr(col) -> np.ndarray:
+    """Join-key column → numpy array the searchsorted kernels can
+    order: integral/temporal keys become int64; string/binary keys
+    stay object arrays (numpy's comparison sorts handle them — slower
+    per element but the same algorithm)."""
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind in ("i", "u", "M", "m", "f"):
+        return arr.astype("int64")
+    return arr
+
+
 def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
                probe_out: str, anchor_key: str, anchor_time: str,
                anchor_val: str, broadcast_threshold: int = 1_000_000,
@@ -938,8 +949,10 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
     """Backward as-of inner join: each probe row is matched to the
     anchor row of the same key with the LARGEST time at-or-before the
     probe time (ties: smallest ``anchor_val``).  Output columns
-    ``(probe_out, anchor_val)``.  Keys and values must be integral;
-    times may be integral or timestamp (compared as int64 epoch us).
+    ``(probe_out, anchor_val)``.  Keys may be integral OR
+    string/binary (string keys ride the object-array comparison
+    kernels); values must be integral; times may be integral or
+    timestamp (compared as int64 epoch us).
 
     Topology picked by an anchor-side count() probe (see section
     comment); ``mode`` forces ``"broadcast"`` or ``"partitioned"``."""
@@ -968,13 +981,13 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
                                         batch_format="pyarrow")
         an = pa.concat_tables(tbls, promote_options="default")
         state_ref = _ray.put(_asof_state(
-            _i64(an.column(anchor_key)), _i64(an.column(anchor_time)),
+            _key_arr(an.column(anchor_key)), _i64(an.column(anchor_time)),
             _i64(an.column(anchor_val))))
 
         def bprobe(batch: pa.Table) -> pa.Table:
             state = _ray.get(state_ref)
             mask, idx = _asof_probe(state,
-                                    _i64(batch.column(probe_key)),
+                                    _key_arr(batch.column(probe_key)),
                                     _i64(batch.column(probe_time)))
             return pa.table({
                 probe_out: batch.column(probe_out).filter(pa.array(mask)),
@@ -984,27 +997,29 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
 
     # partitioned: one tagged-union exchange on the key, kernel per
     # partition — no driver materialization of either side
+    key_type = probe_ds.schema().base_schema.field(probe_key).type
+
     def tag_probe(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column(probe_key), key_type)
         return pa.table({
-            "_k": pa.array(_i64(b.column(probe_key))),
+            "_k": k,
             "_t": pa.array(_i64(b.column(probe_time))),
             "_o": b.column(probe_out),
             "_v": pa.nulls(b.num_rows, type=pa.int64()),
             "_r": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-            "_part": _partition_on_keys(
-                pa.table({"_k": pa.array(_i64(b.column(probe_key)))}),
-                ["_k"], num_partitions)})
+            "_part": _partition_on_keys(pa.table({"_k": k}),
+                                        ["_k"], num_partitions)})
 
     def tag_anchor(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column(anchor_key), key_type)
         return pa.table({
-            "_k": pa.array(_i64(b.column(anchor_key))),
+            "_k": k,
             "_t": pa.array(_i64(b.column(anchor_time))),
             "_o": pa.nulls(b.num_rows, type=out_type),
             "_v": pa.array(_i64(b.column(anchor_val))),
             "_r": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-            "_part": _partition_on_keys(
-                pa.table({"_k": pa.array(_i64(b.column(anchor_key)))}),
-                ["_k"], num_partitions)})
+            "_part": _partition_on_keys(pa.table({"_k": k}),
+                                        ["_k"], num_partitions)})
 
     tagged = (probe_ds.map_batches(tag_probe, batch_format="pyarrow")
               .union(anchor_ds.map_batches(tag_anchor,
@@ -1016,9 +1031,10 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
         an = part.filter(pc.equal(side, 1))
         if pr.num_rows == 0 or an.num_rows == 0:
             return _empty()
-        state = _asof_state(_i64(an.column("_k")), _i64(an.column("_t")),
+        state = _asof_state(_key_arr(an.column("_k")),
+                            _i64(an.column("_t")),
                             _i64(an.column("_v")))
-        mask, idx = _asof_probe(state, _i64(pr.column("_k")),
+        mask, idx = _asof_probe(state, _key_arr(pr.column("_k")),
                                 _i64(pr.column("_t")))
         return pa.table({
             probe_out: pr.column("_o").filter(pa.array(mask)),
@@ -1099,7 +1115,7 @@ def range_follow_counts(probe_ds, anchor_ds, *, probe_key: str,
                                         batch_format="pyarrow")
         an = pa.concat_tables(tbls, promote_options="default")
         state_ref = _ray.put(_range_state(
-            _i64(an.column(anchor_key)), _i64(an.column(anchor_time)),
+            _key_arr(an.column(anchor_key)), _i64(an.column(anchor_time)),
             _i64(an.column(anchor_id))))
 
         def partial(batch: pa.Table) -> pa.Table:
@@ -1107,7 +1123,7 @@ def range_follow_counts(probe_ds, anchor_ds, *, probe_key: str,
             if batch.num_rows == 0:
                 return _empty()
             counts = _range_probe_counts(
-                state, _i64(batch.column(probe_key)),
+                state, _key_arr(batch.column(probe_key)),
                 _i64(batch.column(probe_time)), window)
             nz = np.flatnonzero(counts)
             if len(nz) == 0:
@@ -1125,25 +1141,27 @@ def range_follow_counts(probe_ds, anchor_ds, *, probe_key: str,
                 out_count: b.column(f"sum({out_count})")}),
             batch_format="pyarrow")
 
+    key_type = probe_ds.schema().base_schema.field(probe_key).type
+
     def tag_probe(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column(probe_key), key_type)
         return pa.table({
-            "_k": pa.array(_i64(b.column(probe_key))),
+            "_k": k,
             "_t": pa.array(_i64(b.column(probe_time))),
             "_i": pa.nulls(b.num_rows, type=id_type),
             "_r": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-            "_part": _partition_on_keys(
-                pa.table({"_k": pa.array(_i64(b.column(probe_key)))}),
-                ["_k"], num_partitions)})
+            "_part": _partition_on_keys(pa.table({"_k": k}),
+                                        ["_k"], num_partitions)})
 
     def tag_anchor(b: pa.Table) -> pa.Table:
+        k = pc.cast(b.column(anchor_key), key_type)
         return pa.table({
-            "_k": pa.array(_i64(b.column(anchor_key))),
+            "_k": k,
             "_t": pa.array(_i64(b.column(anchor_time))),
             "_i": b.column(anchor_id),
             "_r": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-            "_part": _partition_on_keys(
-                pa.table({"_k": pa.array(_i64(b.column(anchor_key)))}),
-                ["_k"], num_partitions)})
+            "_part": _partition_on_keys(pa.table({"_k": k}),
+                                        ["_k"], num_partitions)})
 
     tagged = (probe_ds.map_batches(tag_probe, batch_format="pyarrow")
               .union(anchor_ds.map_batches(tag_anchor,
@@ -1155,9 +1173,10 @@ def range_follow_counts(probe_ds, anchor_ds, *, probe_key: str,
         an = part.filter(pc.equal(side, 1))
         if pr.num_rows == 0 or an.num_rows == 0:
             return _empty()
-        state = _range_state(_i64(an.column("_k")), _i64(an.column("_t")),
+        state = _range_state(_key_arr(an.column("_k")),
+                             _i64(an.column("_t")),
                              _i64(an.column("_i")))
-        counts = _range_probe_counts(state, _i64(pr.column("_k")),
+        counts = _range_probe_counts(state, _key_arr(pr.column("_k")),
                                      _i64(pr.column("_t")), window)
         nz = np.flatnonzero(counts)
         if len(nz) == 0:

@@ -745,3 +745,59 @@ def test_range_counts_both_modes_match_bruteforce(ray_session):
             _ds(probes), _ds(anchors), mode=mode, **kw))
         assert got == want, mode
     assert len(want) > 0
+
+
+def test_merge_asof_string_keys_both_modes(ray_session):
+    """String join keys ride the object-array kernels; both topologies
+    agree with brute force."""
+    rng = np.random.default_rng(17)
+    n_a, n_p = 150, 600
+    anchors = pa.table({
+        "ak": pa.array([f"user-{i}" for i in
+                        rng.integers(0, 30, n_a)], type=pa.string()),
+        "at": pa.array(rng.integers(0, 1000, n_a), type=pa.int64()),
+        "av": pa.array(np.arange(n_a, dtype=np.int64)),
+    })
+    probes = pa.table({
+        "pk": pa.array([f"user-{i}" for i in
+                        rng.integers(0, 40, n_p)], type=pa.string()),
+        "pt": pa.array(rng.integers(0, 1000, n_p), type=pa.int64()),
+        "pid": pa.array(np.arange(n_p, dtype=np.int64)),
+    })
+    want = _asof_oracle(probes, anchors)
+    from imgray.ops.relational import merge_asof
+
+    kw = dict(probe_key="pk", probe_time="pt", probe_out="pid",
+              anchor_key="ak", anchor_time="at", anchor_val="av")
+    for mode in ("broadcast", "partitioned"):
+        got = _sorted_rows(merge_asof(_ds(probes), _ds(anchors),
+                                      mode=mode, **kw))
+        assert got == want, mode
+    assert len(want) > 0
+
+
+def test_range_counts_string_keys_both_modes(ray_session):
+    rng = np.random.default_rng(21)
+    n_a, n_p = 80, 700
+    anchors = pa.table({
+        "ak": pa.array([f"s{i}" for i in rng.integers(0, 20, n_a)],
+                       type=pa.string()),
+        "at": pa.array(rng.integers(0, 500, n_a), type=pa.int64()),
+        "aid": pa.array(np.arange(n_a, dtype=np.int64)),
+    })
+    probes = pa.table({
+        "pk": pa.array([f"s{i}" for i in rng.integers(0, 25, n_p)],
+                       type=pa.string()),
+        "pt": pa.array(rng.integers(0, 500, n_p), type=pa.int64()),
+    })
+    want = _range_oracle(probes, anchors, 40)
+    from imgray.ops.relational import range_follow_counts
+
+    kw = dict(probe_key="pk", probe_time="pt", anchor_key="ak",
+              anchor_time="at", anchor_id="aid", window=40,
+              out_id="aid", out_count="n")
+    for mode in ("broadcast", "partitioned"):
+        got = _sorted_rows(range_follow_counts(
+            _ds(probes), _ds(anchors), mode=mode, **kw))
+        assert got == want, mode
+    assert len(want) > 0
