@@ -801,3 +801,71 @@ def test_range_counts_string_keys_both_modes(ray_session):
             _ds(probes), _ds(anchors), mode=mode, **kw))
         assert got == want, mode
     assert len(want) > 0
+
+
+# -------------------------------------------- kernel property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.integers(min_value=0, max_value=6)
+_times = st.integers(min_value=0, max_value=20)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    anchors=st.lists(st.tuples(_keys, _times,
+                               st.integers(min_value=0, max_value=99)),
+                     min_size=1, max_size=40),
+    probes=st.lists(st.tuples(_keys, _times), min_size=1, max_size=40),
+)
+def test_asof_kernel_property(anchors, probes):
+    """Pure-kernel check (no Ray): backward as-of with min-val
+    tiebreak equals brute force on tiny random domains where ties and
+    equal times are common."""
+    from imgray.ops.relational import _asof_probe, _asof_state
+
+    ak = np.array([a[0] for a in anchors], dtype=np.int64)
+    at = np.array([a[1] for a in anchors], dtype=np.int64)
+    av = np.array([a[2] for a in anchors], dtype=np.int64)
+    state = _asof_state(ak, at, av)
+    pk = np.array([p[0] for p in probes], dtype=np.int64)
+    pt = np.array([p[1] for p in probes], dtype=np.int64)
+    mask, idx = _asof_probe(state, pk, pt)
+    for j, (k, t) in enumerate(probes):
+        cand = [(a_t, a_v) for a_k, a_t, a_v in anchors
+                if a_k == k and a_t <= t]
+        if not cand:
+            assert not mask[j]
+            continue
+        best_t = max(c[0] for c in cand)
+        best_v = min(v for (c_t, v) in cand if c_t == best_t)
+        assert mask[j]
+        assert state[1][idx[j]] == best_v
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    anchors=st.lists(st.tuples(_keys, _times), min_size=1, max_size=30),
+    probes=st.lists(st.tuples(_keys, _times), min_size=0, max_size=50),
+    window=st.integers(min_value=0, max_value=10),
+)
+def test_range_kernel_property(anchors, probes, window):
+    from imgray.ops.relational import _range_probe_counts, _range_state
+
+    ak = np.array([a[0] for a in anchors], dtype=np.int64)
+    at = np.array([a[1] for a in anchors], dtype=np.int64)
+    aid = np.arange(len(anchors), dtype=np.int64)
+    state = _range_state(ak, at, aid)
+    pk = np.array([p[0] for p in probes], dtype=np.int64)
+    pt = np.array([p[1] for p in probes], dtype=np.int64)
+    counts = _range_probe_counts(state, pk, pt, np.int64(window))
+    # counts are indexed by the SORTED anchor order held in state[0]
+    got = {int(state[0][i]): int(c) for i, c in enumerate(counts) if c}
+    want: dict[int, int] = {}
+    for i, (a_k, a_t) in enumerate(anchors):
+        n = sum(1 for p_k, p_t in probes
+                if p_k == a_k and a_t < p_t <= a_t + window)
+        if n:
+            want[i] = n
+    assert got == want
