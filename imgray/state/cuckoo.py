@@ -11,10 +11,11 @@ Better Than Bloom", CoNEXT 2014 — public algorithm):
     (evictions that overflow land in a small exact spill set).
   * ``SeenShard`` (Ray actor): one shard of the seen set — the cuckoo
     filter is the fast approximate gate; an exact per-shard key set
-    backs it so false positives never drop a URL (the exact set is the
-    ground truth persisted to the per-round checkpoint; at 10^10-URL
-    scale it pages to the shard's sorted on-disk runs while the cuckoo
-    filter stays in RAM — here it is an in-memory set).
+    backs it so false positives never drop a URL.  The exact set is
+    the ground truth persisted to the per-round checkpoint, and with
+    ``spill_dir``/``ram_cap`` set it PAGES to the shard's sorted
+    on-disk runs (``SortedRuns``) while the cuckoo filter stays in
+    RAM — the 10^10-URL shape; default is all-RAM.
   * ``ShardedSeen``: client-side router — batches keys per shard
     (hash-partitioned) and fans out ONE actor call per shard per batch
     (never per URL).
