@@ -893,15 +893,20 @@ def auto_join(left_ds, right_ds, key: str | list[str],
 # test pins that.
 
 
-def _asof_state(akey: np.ndarray, atime: np.ndarray, aval: np.ndarray):
-    """Sort anchors by (key, time, -val) and build the dense-rank
+def _asof_state(akey: np.ndarray, atime: np.ndarray, aval: np.ndarray,
+                direction: str = "backward"):
+    """Sort anchors by (key, time, ±val) and build the dense-rank
     composite (key_rank * K + time_rank) that turns the two-level
-    (key, time <= t) lookup into ONE searchsorted over int64 — exact
-    (ranks are small ints, no float composite).  Within equal
-    (key, time) the LAST row in sort order has the SMALLEST val, so
-    the backward probe's side="right" - 1 lands on min(val) — SQL's
-    ``min(id) ... where time = max(time)`` tiebreak."""
-    order = np.lexsort((-aval, atime, akey))
+    (key, time vs t) lookup into ONE searchsorted over int64 — exact
+    (ranks are small ints, no float composite).
+
+    backward: within equal (key, time) the LAST row in sort order has
+    the SMALLEST val, so the probe's side="right" - 1 lands on
+    min(val) — SQL's ``min(id) ... where time = max(time)`` tiebreak.
+    forward: ascending val, so the probe's side="left" lands on
+    min(val) among the SMALLEST time at-or-after t."""
+    order = np.lexsort((-aval if direction == "backward" else aval,
+                        atime, akey))
     akey, atime, aval = akey[order], atime[order], aval[order]
     ukey = np.unique(akey)
     utime = np.unique(atime)
@@ -911,19 +916,29 @@ def _asof_state(akey: np.ndarray, atime: np.ndarray, aval: np.ndarray):
     return akey, aval, ukey, utime, comp
 
 
-def _asof_probe(state, pkey: np.ndarray, ptime: np.ndarray):
-    """Vectorized backward as-of lookup.  Returns (matched mask,
-    clipped anchor index) — ``aval[idx[mask]]`` is the result."""
+def _asof_probe(state, pkey: np.ndarray, ptime: np.ndarray,
+                direction: str = "backward"):
+    """Vectorized as-of lookup.  Returns (matched mask, clipped anchor
+    index) — ``aval[idx[mask]]`` is the result."""
     akey, aval, ukey, utime, comp = state
     lo = np.searchsorted(akey, pkey, side="left")
     hi = np.searchsorted(akey, pkey, side="right")
     r = np.searchsorted(ukey, pkey).clip(0, len(ukey) - 1)
-    dr = np.searchsorted(utime, ptime, side="right") - 1
-    want = r.astype(np.int64) * np.int64(len(utime) + 2) + dr
-    idx = np.searchsorted(comp, want, side="right") - 1
-    # idx can fall into the previous key's span when this key has no
-    # anchor at-or-before ptime — the (idx >= lo) guard rejects it
-    mask = (hi > lo) & (idx >= lo)
+    K = np.int64(len(utime) + 2)
+    if direction == "backward":
+        dr = np.searchsorted(utime, ptime, side="right") - 1
+        idx = np.searchsorted(comp, r.astype(np.int64) * K + dr,
+                              side="right") - 1
+        # idx falls into the previous key's span when this key has no
+        # anchor at-or-before ptime — the (idx >= lo) guard rejects it
+        mask = (hi > lo) & (idx >= lo)
+    else:
+        dr = np.searchsorted(utime, ptime, side="left")
+        idx = np.searchsorted(comp, r.astype(np.int64) * K + dr,
+                              side="left")
+        # idx lands at hi when this key has no anchor at-or-after
+        # ptime — the (idx < hi) guard rejects it
+        mask = (hi > lo) & (idx < hi) & (idx >= lo)
     return mask, np.clip(idx, 0, len(aval) - 1)
 
 
@@ -945,10 +960,12 @@ def _key_arr(col) -> np.ndarray:
 def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
                probe_out: str, anchor_key: str, anchor_time: str,
                anchor_val: str, broadcast_threshold: int = 1_000_000,
-               num_partitions: int = 64, mode: str | None = None):
-    """Backward as-of inner join: each probe row is matched to the
-    anchor row of the same key with the LARGEST time at-or-before the
-    probe time (ties: smallest ``anchor_val``).  Output columns
+               num_partitions: int = 64, mode: str | None = None,
+               direction: str = "backward"):
+    """As-of inner join: each probe row is matched to the anchor row
+    of the same key with the LARGEST time at-or-before the probe time
+    (``direction="backward"``, default) or the SMALLEST time
+    at-or-after it (``"forward"``) — ties: smallest ``anchor_val``.  Output columns
     ``(probe_out, anchor_val)``.  Keys may be integral OR
     string/binary (string keys ride the object-array comparison
     kernels); values must be integral; times may be integral or
@@ -960,6 +977,8 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
 
     if mode not in (None, "broadcast", "partitioned"):
         raise ValueError(f"bad mode: {mode!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"bad direction: {direction!r}")
     out_type = probe_ds.schema().base_schema.field(probe_out).type
     val_type = anchor_ds.schema().base_schema.field(anchor_val).type
 
@@ -982,13 +1001,14 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
         an = pa.concat_tables(tbls, promote_options="default")
         state_ref = _ray.put(_asof_state(
             _key_arr(an.column(anchor_key)), _i64(an.column(anchor_time)),
-            _i64(an.column(anchor_val))))
+            _i64(an.column(anchor_val)), direction))
 
         def bprobe(batch: pa.Table) -> pa.Table:
             state = _ray.get(state_ref)
             mask, idx = _asof_probe(state,
                                     _key_arr(batch.column(probe_key)),
-                                    _i64(batch.column(probe_time)))
+                                    _i64(batch.column(probe_time)),
+                                    direction)
             return pa.table({
                 probe_out: batch.column(probe_out).filter(pa.array(mask)),
                 anchor_val: pa.array(state[1][idx[mask]], type=val_type)})
@@ -1033,9 +1053,9 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
             return _empty()
         state = _asof_state(_key_arr(an.column("_k")),
                             _i64(an.column("_t")),
-                            _i64(an.column("_v")))
+                            _i64(an.column("_v")), direction)
         mask, idx = _asof_probe(state, _key_arr(pr.column("_k")),
-                                _i64(pr.column("_t")))
+                                _i64(pr.column("_t")), direction)
         return pa.table({
             probe_out: pr.column("_o").filter(pa.array(mask)),
             anchor_val: pa.array(state[1][idx[mask]], type=val_type)})
