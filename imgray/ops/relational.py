@@ -917,9 +917,12 @@ def _asof_state(akey: np.ndarray, atime: np.ndarray, aval: np.ndarray,
 
 
 def _asof_probe(state, pkey: np.ndarray, ptime: np.ndarray,
-                direction: str = "backward"):
+                direction: str = "backward",
+                tolerance: int | None = None):
     """Vectorized as-of lookup.  Returns (matched mask, clipped anchor
-    index) — ``aval[idx[mask]]`` is the result."""
+    index) — ``aval[idx[mask]]`` is the result.  ``tolerance`` bounds
+    the match's time distance: |anchor_time - probe_time| must be
+    ≤ tolerance (pandas merge_asof semantics)."""
     akey, aval, ukey, utime, comp = state
     lo = np.searchsorted(akey, pkey, side="left")
     hi = np.searchsorted(akey, pkey, side="right")
@@ -939,7 +942,13 @@ def _asof_probe(state, pkey: np.ndarray, ptime: np.ndarray,
         # idx lands at hi when this key has no anchor at-or-after
         # ptime — the (idx < hi) guard rejects it
         mask = (hi > lo) & (idx < hi) & (idx >= lo)
-    return mask, np.clip(idx, 0, len(aval) - 1)
+    idx = np.clip(idx, 0, len(aval) - 1)
+    if tolerance is not None and len(utime):
+        # recover the matched anchor's time from its dense rank — the
+        # composite's low digits — and bound the distance
+        atime = utime[np.clip(comp[idx] % K, 0, len(utime) - 1)]
+        mask = mask & (np.abs(atime - ptime) <= tolerance)
+    return mask, idx
 
 
 def _i64(col) -> np.ndarray:
@@ -961,11 +970,14 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
                probe_out: str, anchor_key: str, anchor_time: str,
                anchor_val: str, broadcast_threshold: int = 1_000_000,
                num_partitions: int = 64, mode: str | None = None,
-               direction: str = "backward"):
+               direction: str = "backward",
+               tolerance: int | None = None):
     """As-of inner join: each probe row is matched to the anchor row
     of the same key with the LARGEST time at-or-before the probe time
     (``direction="backward"``, default) or the SMALLEST time
-    at-or-after it (``"forward"``) — ties: smallest ``anchor_val``.  Output columns
+    at-or-after it (``"forward"``) — ties: smallest ``anchor_val``.
+    ``tolerance`` (int64 time units) drops matches farther than that
+    from the probe time, pandas-style.  Output columns
     ``(probe_out, anchor_val)``.  Keys may be integral OR
     string/binary (string keys ride the object-array comparison
     kernels); values must be integral; times may be integral or
@@ -1008,7 +1020,7 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
             mask, idx = _asof_probe(state,
                                     _key_arr(batch.column(probe_key)),
                                     _i64(batch.column(probe_time)),
-                                    direction)
+                                    direction, tolerance)
             return pa.table({
                 probe_out: batch.column(probe_out).filter(pa.array(mask)),
                 anchor_val: pa.array(state[1][idx[mask]], type=val_type)})
@@ -1055,7 +1067,8 @@ def merge_asof(probe_ds, anchor_ds, *, probe_key: str, probe_time: str,
                             _i64(an.column("_t")),
                             _i64(an.column("_v")), direction)
         mask, idx = _asof_probe(state, _key_arr(pr.column("_k")),
-                                _i64(pr.column("_t")), direction)
+                                _i64(pr.column("_t")), direction,
+                                tolerance)
         return pa.table({
             probe_out: pr.column("_o").filter(pa.array(mask)),
             anchor_val: pa.array(state[1][idx[mask]], type=val_type)})

@@ -927,3 +927,72 @@ def test_merge_asof_forward_both_modes(ray_session):
                                       mode=mode, **kw))
         assert got == want, mode
     assert len(want) > 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    anchors=st.lists(st.tuples(_keys, _times,
+                               st.integers(min_value=0, max_value=99)),
+                     min_size=1, max_size=40),
+    probes=st.lists(st.tuples(_keys, _times), min_size=1, max_size=40),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.integers(min_value=0, max_value=8),
+)
+def test_asof_tolerance_kernel_property(anchors, probes, direction, tol):
+    from imgray.ops.relational import _asof_probe, _asof_state
+
+    ak = np.array([a[0] for a in anchors], dtype=np.int64)
+    at = np.array([a[1] for a in anchors], dtype=np.int64)
+    av = np.array([a[2] for a in anchors], dtype=np.int64)
+    state = _asof_state(ak, at, av, direction)
+    pk = np.array([p[0] for p in probes], dtype=np.int64)
+    pt = np.array([p[1] for p in probes], dtype=np.int64)
+    mask, idx = _asof_probe(state, pk, pt, direction, tol)
+    for j, (k, t) in enumerate(probes):
+        if direction == "backward":
+            cand = [(a_t, a_v) for a_k, a_t, a_v in anchors
+                    if a_k == k and t - tol <= a_t <= t]
+            pick = max
+        else:
+            cand = [(a_t, a_v) for a_k, a_t, a_v in anchors
+                    if a_k == k and t <= a_t <= t + tol]
+            pick = min
+        if not cand:
+            assert not mask[j], (k, t)
+            continue
+        best_t = pick(c[0] for c in cand)
+        best_v = min(v for (c_t, v) in cand if c_t == best_t)
+        assert mask[j], (k, t)
+        assert state[1][idx[j]] == best_v
+
+
+def test_merge_asof_tolerance_both_modes(ray_session):
+    from imgray.ops.relational import merge_asof
+
+    probes, anchors = _asof_inputs(seed=55)
+    TOL = 500
+
+    def oracle():
+        out = []
+        arows = anchors.to_pylist()
+        for p in probes.to_pylist():
+            cand = [a for a in arows if a["ak"] == p["pk"]
+                    and p["pt"] - TOL <= a["at"] <= p["pt"]]
+            if not cand:
+                continue
+            best_t = max(a["at"] for a in cand)
+            best = min(a["av"] for a in cand if a["at"] == best_t)
+            out.append((p["pid"], best))
+        return sorted(out)
+
+    want = oracle()
+    base = _asof_oracle(probes, anchors)
+    assert want != base  # the tolerance actually prunes something
+    kw = dict(probe_key="pk", probe_time="pt", probe_out="pid",
+              anchor_key="ak", anchor_time="at", anchor_val="av",
+              tolerance=TOL)
+    for mode in ("broadcast", "partitioned"):
+        got = _sorted_rows(merge_asof(_ds(probes), _ds(anchors),
+                                      mode=mode, **kw))
+        assert got == want, mode
+    assert len(want) > 0
