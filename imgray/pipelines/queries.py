@@ -365,6 +365,19 @@ def q_minhash_pairs_md5(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5, hash_mode="md5")
 
 
+def q_minhash_pairs_md5_p5(sf_dir: str):
+    """Spill-topology twin of minhash_pairs_md5 (VERDICT r5 pattern:
+    same oracle, forced non-default partitioning): 5 spill/verify
+    partitions instead of 64 — MUST hash-match the same SQL, proving
+    the distributed co-partitioned verify is a topology choice, not a
+    semantics choice."""
+    from ..ops.dedup import minhash_lsh_pairs
+
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5, hash_mode="md5",
+                             num_spill_parts=5)
+
+
 def q_fuzzy_customer_names(sf_dir: str):
     """Similarity (fuzzy) join: customer-name pairs within Levenshtein
     distance 1 via the FastSS deletion-neighborhood bucketing — exact
@@ -375,6 +388,15 @@ def q_fuzzy_customer_names(sf_dir: str):
 
     ds = _read_sized(sf_dir, "customer", ["c_custkey", "c_name"])
     return editdist1_pairs(ds, "c_name", "c_custkey")
+
+
+def q_fuzzy_customer_names_p5(sf_dir: str):
+    """Spill-topology twin of fuzzy_customer_names: 5 spill/verify
+    partitions, same DuckDB levenshtein oracle."""
+    from ..ops.dedup import editdist1_pairs
+
+    ds = _read_sized(sf_dir, "customer", ["c_custkey", "c_name"])
+    return editdist1_pairs(ds, "c_name", "c_custkey", num_spill_parts=5)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -2399,7 +2421,9 @@ QUERIES = {
     "q3_shipping": q_q3_shipping,
     "simhash_pairs": q_simhash_pairs,
     "minhash_pairs_md5": q_minhash_pairs_md5,
+    "minhash_pairs_md5_p5": q_minhash_pairs_md5_p5,
     "fuzzy_customer_names": q_fuzzy_customer_names,
+    "fuzzy_customer_names_p5": q_fuzzy_customer_names_p5,
     "order_bulk_counts": q_order_bulk_counts,
     "urgent_building_full": q_urgent_building_full,
     "urgent_high_intersect": q_urgent_high_intersect,
@@ -3448,3 +3472,5 @@ def _minhash_md5_sql(num_perm: int = 64, bands: int = 16,
 
 
 ORACLE_SQL["minhash_pairs_md5"] = _minhash_md5_sql()
+ORACLE_SQL["minhash_pairs_md5_p5"] = _minhash_md5_sql()
+ORACLE_SQL["fuzzy_customer_names_p5"] = ORACLE_SQL["fuzzy_customer_names"]

@@ -89,6 +89,47 @@ def test_minhash_bad_hash_mode_rejected(ray_session):
         minhash_lsh_pairs(_docs_ds(ray_session), hash_mode="sha9")
 
 
+def test_lsh_verify_never_collects_candidates_on_driver(
+        ray_session, monkeypatch):
+    """VERDICT r4 #1 done-criterion: the only table the driver ever
+    collects from the LSH pipelines is the CONFIRMED pair table —
+    unverified candidate (a, b) pairs and the (a, b, va) half-attached
+    rows stay inside partition tasks."""
+    import imgray.ops.dedup as dd
+
+    seen_schemas = []
+    real = dd._collect_pairs
+
+    def spy(pairs_ds, schema):
+        seen_schemas.append(schema.names)
+        return real(pairs_ds, schema)
+
+    monkeypatch.setattr(dd, "_collect_pairs", spy)
+    dd.minhash_lsh_pairs(_docs_ds(ray_session), threshold=0.5)
+    import ray.data
+    ds = ray.data.from_items([{"id": 0, "s": "abcd"},
+                              {"id": 1, "s": "abxd"}])
+    dd.editdist1_pairs(ds, "s", "id")
+    assert seen_schemas, "LSH pipelines no longer route via _collect_pairs?"
+    for names in seen_schemas:
+        assert names != ["a", "b"], "raw candidate pairs reached the driver"
+        assert "va" not in names, "half-attached rows reached the driver"
+        assert len(names) == 3  # (a, b, sim|nmatch|dist) only
+
+
+def test_minhash_spill_partition_invariance(ray_session):
+    """Confirmed pairs are invariant to the spill/verify partition
+    count (the co-partitioned exchange is a topology choice, not a
+    semantics choice)."""
+    from imgray.ops.dedup import minhash_lsh_pairs
+
+    base = minhash_lsh_pairs(_docs_ds(ray_session), threshold=0.5,
+                             hash_mode="md5", num_spill_parts=64)
+    alt = minhash_lsh_pairs(_docs_ds(ray_session), threshold=0.5,
+                            hash_mode="md5", num_spill_parts=3)
+    assert base.to_pylist() == alt.to_pylist()
+
+
 def test_simhash_pairs(ray_session):
     from imgray.ops.dedup import simhash_pairs, simhash64, hamming64
 
