@@ -65,31 +65,51 @@ def _hash64(key: str) -> int:
 
 
 class CuckooFilter:
-    """Partial-key cuckoo hash filter; no false negatives."""
+    """Partial-key cuckoo hash filter; no false negatives.
+
+    GROWS under load (ADVICE r4): a fixed-capacity cuckoo table
+    saturates — inserts degrade to the full 500-kick eviction loop, the
+    homeless-fp spill set grows without bound, and the false-positive
+    rate approaches 1.  Instead, when the active table passes
+    ``GROW_LOAD`` occupancy it is FROZEN (stays probe-only — a cuckoo
+    table cannot be rehashed from fingerprints alone) and a new table
+    with twice the buckets becomes the insert target: the scalable-
+    Bloom-filter pattern (Almeida et al., 2007) applied to cuckoo
+    generations.  Generations grow geometrically, so there are
+    O(log n / initial) of them, total RAM is < 2× a right-sized table,
+    per-insert kicks stay bounded (the active table is never past
+    GROW_LOAD), and the aggregate FP rate stays ~ the sum of a
+    geometric series of per-table rates.  Crawler therefore needs no
+    up-front capacity estimate."""
 
     SLOTS = 4
     MAX_KICKS = 500
+    GROW_LOAD = 0.94  # freeze + double past this occupancy
 
     def __init__(self, capacity: int = 1 << 16, seed: int = 0):
         n = 1
         while n * self.SLOTS < capacity:
             n <<= 1
-        self.nbuckets = n
-        self.buckets = np.zeros((n, self.SLOTS), dtype=np.uint16)
-        # overflow: canonical (min bucket, fp) of evicted-and-homeless
-        # fingerprints — keeps the no-false-negative guarantee when full
-        self.spill: set[tuple[int, int]] = set()
+        # generations: [(buckets ndarray, nbuckets)], last = active
+        self.gens: list[tuple[np.ndarray, int]] = [
+            (np.zeros((n, self.SLOTS), dtype=np.uint16), n)]
+        # overflow: (nbuckets, min bucket, fp) of evicted-and-homeless
+        # fingerprints — keeps the no-false-negative guarantee on the
+        # rare MAX_KICKS failure below GROW_LOAD; bounded because a
+        # near-full table grows instead of spilling
+        self.spill: set[tuple[int, int, int]] = set()
         self.seed = seed
         self.count = 0
+        self.gen_count = 0  # fingerprints in the ACTIVE generation
 
-    def _canon(self, i: int, fp: int) -> tuple[int, int]:
-        j = (i ^ self._fp_hash(fp)) & (self.nbuckets - 1)
-        return (min(i, j), fp)
+    @staticmethod
+    def _fp_of(h: int) -> int:
+        return (h & 0xFFFF) or 1  # fingerprint never 0 (0 = empty slot)
 
-    def _fp_idx(self, h: int) -> tuple[int, int, int]:
-        fp = (h & 0xFFFF) or 1  # fingerprint never 0 (0 = empty slot)
-        i1 = (h >> 16) & (self.nbuckets - 1)
-        i2 = (i1 ^ self._fp_hash(fp)) & (self.nbuckets - 1)
+    def _fp_idx(self, h: int, nbuckets: int) -> tuple[int, int, int]:
+        fp = self._fp_of(h)
+        i1 = (h >> 16) & (nbuckets - 1)
+        i2 = (i1 ^ self._fp_hash(fp)) & (nbuckets - 1)
         return fp, i1, i2
 
     def _fp_hash(self, fp: int) -> int:
@@ -98,41 +118,57 @@ class CuckooFilter:
         return x ^ (x >> 13)
 
     def contains_hash(self, h: int) -> bool:
-        fp, i1, i2 = self._fp_idx(h)
-        return (
-            bool((self.buckets[i1] == fp).any())
-            or bool((self.buckets[i2] == fp).any())
-            or self._canon(i1, fp) in self.spill
-        )
+        for buckets, nb in self.gens:
+            fp, i1, i2 = self._fp_idx(h, nb)
+            if (buckets[i1] == fp).any() or (buckets[i2] == fp).any():
+                return True
+            if (nb, min(i1, i2), fp) in self.spill:
+                return True
+        return False
+
+    def _grow(self) -> None:
+        _, nb = self.gens[-1]
+        self.gens.append(
+            (np.zeros((nb * 2, self.SLOTS), dtype=np.uint16), nb * 2))
+        self.gen_count = 0
 
     def insert_hash(self, h: int) -> None:
-        fp, i1, i2 = self._fp_idx(h)
+        buckets, nb = self.gens[-1]
+        if self.gen_count >= self.GROW_LOAD * nb * self.SLOTS:
+            self._grow()
+            buckets, nb = self.gens[-1]
+        fp, i1, i2 = self._fp_idx(h, nb)
         for i in (i1, i2):
-            row = self.buckets[i]
+            row = buckets[i]
             empty = np.flatnonzero(row == 0)
             if empty.size:
                 row[empty[0]] = fp
                 self.count += 1
+                self.gen_count += 1
                 return
-        # evict loop
+        # evict loop (active table only)
         rng = h
         i = i1
         cur = fp
         for _ in range(self.MAX_KICKS):
             rng = (rng * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
             slot = rng & 3
-            cur, self.buckets[i][slot] = int(self.buckets[i][slot]), cur
-            i = (i ^ self._fp_hash(cur)) & (self.nbuckets - 1)
-            row = self.buckets[i]
+            cur, buckets[i][slot] = int(buckets[i][slot]), cur
+            i = (i ^ self._fp_hash(cur)) & (nb - 1)
+            row = buckets[i]
             empty = np.flatnonzero(row == 0)
             if empty.size:
                 row[empty[0]] = cur
                 self.count += 1
+                self.gen_count += 1
                 return
-        # table full: the last displaced fingerprint is homeless — spill
-        # it (the new item's fp found a slot during the kick loop)
-        self.spill.add(self._canon(i, cur))
+        # kick failure below GROW_LOAD (rare): the last displaced
+        # fingerprint is homeless — spill its canonical form under THIS
+        # generation's mask (the new item's fp found a slot in the loop)
+        j = (i ^ self._fp_hash(cur)) & (nb - 1)
+        self.spill.add((nb, min(i, j), cur))
         self.count += 1
+        self.gen_count += 1
 
 
 class SortedRuns:
@@ -146,20 +182,33 @@ class SortedRuns:
 
     RG = 4096
     CACHE = 64
+    COMPACT_AT = 8  # merge all runs into one past this many
 
     def __init__(self, dir_path: str):
         import os
-        import shutil
+        import uuid
 
         # runs are shard-process-local state, NOT checkpoint ground
         # truth (that is the per-round delta parquet) — a fresh actor
-        # starts empty and repopulates via restore()
-        shutil.rmtree(dir_path, ignore_errors=True)
-        os.makedirs(dir_path, exist_ok=True)
-        self.dir = dir_path
+        # starts empty and repopulates via restore().  Each instance
+        # writes under its OWN uuid subdirectory (ADVICE r4): two
+        # actors constructed on the same root (overlapping resume, a
+        # shared ckpt root) must never delete each other's live run
+        # files, so nothing here removes pre-existing paths — stale
+        # sibling dirs are reclaimed when the caller clears the ckpt
+        # root.
+        self.dir = os.path.join(dir_path, f"inst-{uuid.uuid4().hex[:12]}")
+        os.makedirs(self.dir, exist_ok=True)
         self.runs: list[tuple[str, list[str], list[str]]] = []
         self._cache: dict[tuple[str, int], list[str]] = {}
         self._order: list[tuple[str, int]] = []
+        self._seq = 0
+
+    def _next_path(self) -> str:
+        import os
+
+        self._seq += 1
+        return os.path.join(self.dir, f"run-{self._seq:05d}.parquet")
 
     def spill(self, keys: set[str]) -> None:
         import os
@@ -170,7 +219,7 @@ class SortedRuns:
         arr = sorted(keys)
         if not arr:
             return
-        path = os.path.join(self.dir, f"run-{len(self.runs):05d}.parquet")
+        path = self._next_path()
         tmp = path + ".tmp"
         pq.write_table(pa.table({"key": pa.array(arr, type=pa.string())}),
                        tmp, row_group_size=self.RG)
@@ -179,6 +228,68 @@ class SortedRuns:
         maxs = [arr[min(i + self.RG, len(arr)) - 1]
                 for i in range(0, len(arr), self.RG)]
         self.runs.append((path, mins, maxs))
+        if len(self.runs) >= self.COMPACT_AT:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Merge every run into ONE sorted, deduped run (ADVICE r4:
+        without compaction contains() scans all accumulated runs, so
+        probe cost degrades linearly over the crawl).  Streaming k-way
+        heap merge over the runs' row groups — peak RAM is one row
+        group per run plus one output buffer, never the full spill."""
+        import heapq
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def run_iter(path: str):
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.num_row_groups):
+                yield from pf.read_row_group(rg).column("key").to_pylist()
+
+        old_paths = [p for p, _, _ in self.runs]
+        out_path = self._next_path()
+        tmp = out_path + ".tmp"
+        writer = None
+        buf: list[str] = []
+        mins: list[str] = []
+        maxs: list[str] = []
+        prev = None
+        schema = pa.schema([("key", pa.string())])
+
+        def flush() -> None:
+            nonlocal writer
+            if not buf:
+                return
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, schema)
+            writer.write_table(
+                pa.table({"key": pa.array(buf, type=pa.string())}))
+            mins.append(buf[0])
+            maxs.append(buf[-1])
+            buf.clear()
+
+        for k in heapq.merge(*(run_iter(p) for p in old_paths)):
+            if k == prev:
+                continue
+            prev = k
+            buf.append(k)
+            if len(buf) >= self.RG:
+                flush()
+        flush()
+        if writer is None:
+            return  # nothing spilled (can't happen: spill() guards empty)
+        writer.close()
+        os.replace(tmp, out_path)
+        self.runs = [(out_path, mins, maxs)]
+        self._cache.clear()
+        self._order.clear()
+        for p in old_paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
     def _row_group(self, path: str, rg: int) -> list[str]:
         import pyarrow.parquet as pq

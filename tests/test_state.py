@@ -23,13 +23,62 @@ def test_cuckoo_low_false_positive_rate():
     assert fp / 8000 < 0.05
 
 
-def test_cuckoo_overflow_spills_exactly():
-    cf = CuckooFilter(capacity=1 << 8)  # tiny → forced overflow
-    keys = [f"k{i}" for i in range(2000)]
+def test_cuckoo_grows_past_capacity():
+    """ADVICE r4: a filter loaded far past its constructor capacity
+    must GROW (frozen generations + a fresh double-size active table)
+    instead of saturating — no false negatives, a bounded spill set,
+    and a false-positive rate that stays near the right-sized rate."""
+    cf = CuckooFilter(capacity=1 << 8)  # tiny → forced growth
+    keys = [f"k{i}" for i in range(20000)]  # ~80× constructor capacity
     for k in keys:
         cf.insert_hash(_hash64(k))
     assert all(cf.contains_hash(_hash64(k)) for k in keys)
-    assert len(cf.spill) > 0  # overflow really happened
+    assert len(cf.gens) > 1  # growth really happened
+    assert len(cf.spill) < 50  # spill is a rare-kick backstop, not a dump
+    fp = sum(cf.contains_hash(_hash64(f"absent-{i}")) for i in range(8000))
+    assert fp / 8000 < 0.10  # saturated fixed table would approach 1.0
+
+
+def test_cuckoo_generations_geometric():
+    cf = CuckooFilter(capacity=1 << 8)
+    for i in range(20000):
+        cf.insert_hash(_hash64(f"g{i}"))
+    sizes = [nb for _, nb in cf.gens]
+    assert sizes == sorted(sizes)
+    assert all(b == a * 2 for a, b in zip(sizes, sizes[1:]))
+
+
+def test_sorted_runs_compaction(tmp_path):
+    """ADVICE r4: runs merge once COMPACT_AT accumulate, so probe cost
+    stays bounded; membership is preserved exactly across compaction."""
+    from imgray.state.cuckoo import SortedRuns
+
+    sr = SortedRuns(str(tmp_path / "runs"))
+    all_keys = set()
+    for r in range(20):  # crosses the compaction threshold twice
+        ks = {f"r{r:02d}-k{i:04d}" for i in range(300)} | {"shared-key"}
+        sr.spill(ks)
+        all_keys |= ks
+    assert len(sr.runs) < sr.COMPACT_AT  # compaction actually ran
+    assert all(sr.contains(k) for k in sorted(all_keys))
+    assert not sr.contains("absent-key")
+    assert not sr.contains("r99-k0000")
+
+
+def test_sorted_runs_instances_do_not_clobber(tmp_path):
+    """ADVICE r4: a second instance on the same root must not delete
+    the first instance's live run files."""
+    from imgray.state.cuckoo import SortedRuns
+
+    root = str(tmp_path / "shared")
+    a = SortedRuns(root)
+    a.spill({f"a{i}" for i in range(100)})
+    b = SortedRuns(root)
+    b.spill({f"b{i}" for i in range(100)})
+    a._cache.clear()  # force a cold read through the run file
+    a._order.clear()
+    assert a.contains("a5") and not a.contains("b5")
+    assert b.contains("b5") and not b.contains("a5")
 
 
 def test_sharded_seen(ray_session):
