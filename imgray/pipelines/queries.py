@@ -2365,6 +2365,22 @@ def q_dup_components(sf_dir: str):
     return _collect(connected_components(pairs_ds, "a", "b"))
 
 
+def q_dup_components_star(sf_dir: str):
+    """Algorithm twin of dup_components (same DuckDB recursive-CTE
+    oracle): the same exact-substring pair graph clustered by the
+    large-star/small-star contraction (Kiveris et al. 2014) instead of
+    min-label propagation — O(log²) rounds, the giant-component /
+    high-diameter scale path."""
+    from ..ops.graph import connected_components_star
+
+    pairs = q_substring_pairs(sf_dir)
+    if isinstance(pairs, pa.Table):
+        pairs_ds = ray.data.from_arrow(pairs)
+    else:
+        pairs_ds = pairs
+    return _collect(connected_components_star(pairs_ds, "a", "b"))
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding table (corpus
     domain-bucketing); deterministic hash-seeded init, 5 iterations,
@@ -2418,6 +2434,7 @@ QUERIES = {
     "range_join_counts": q_range_join_counts,
     "pack_bins": q_pack_bins,
     "dup_components": q_dup_components,
+    "dup_components_star": q_dup_components_star,
     "q3_shipping": q_q3_shipping,
     "simhash_pairs": q_simhash_pairs,
     "minhash_pairs_md5": q_minhash_pairs_md5,
@@ -3474,3 +3491,4 @@ def _minhash_md5_sql(num_perm: int = 64, bands: int = 16,
 ORACLE_SQL["minhash_pairs_md5"] = _minhash_md5_sql()
 ORACLE_SQL["minhash_pairs_md5_p5"] = _minhash_md5_sql()
 ORACLE_SQL["fuzzy_customer_names_p5"] = ORACLE_SQL["fuzzy_customer_names"]
+ORACLE_SQL["dup_components_star"] = ORACLE_SQL["dup_components"]
