@@ -359,10 +359,34 @@ def decode_image(data: bytes) -> np.ndarray:
 
         return gif_decode(data)
     if fmt == "webp":
-        from .webpcodec import webp_decode  # lossless VP8L only
+        from .webpcodec import webp_decode  # lossless VP8L natively
 
-        return webp_decode(data)
+        try:
+            return webp_decode(data)
+        except ValueError as e:
+            if "unsupported" in str(e):
+                # lossy VP8 / extended-without-VP8L (see
+                # webpcodec.py:24-31): adapter-only
+                return _adapter_decode(data, fmt)
+            raise
+    if fmt == "avif":
+        return _adapter_decode(data, fmt)  # no native AVIF codec
     raise ValueError(f"cannot decode format {fmt or 'unknown'}")
+
+
+def _adapter_decode(data: bytes, fmt: str) -> np.ndarray:
+    """Optional-library fallback (VERDICT r4 #5): formats the
+    from-scratch codecs deliberately exclude decode via Pillow when it
+    is installed; otherwise the env-blocked NotImplementedError is
+    raised so the gap stays explicit (the ``undecodable_formats``
+    query counts these rows)."""
+    from . import adapters
+
+    if adapters.pillow_available():
+        return adapters.pil_decode(data)
+    raise NotImplementedError(
+        f"decode for {fmt} requires Pillow/libwebp, not present in this "
+        "container (imgray.adapters activates automatically when it is)")
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:

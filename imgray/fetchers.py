@@ -17,9 +17,19 @@ parity checks against this client:
   -A "Mozilla/5.0 …"   User-Agent spoof
   -e https://{host}    Referer derived from the target's host
   -sS                  no progress output (n/a)
-  -C- / --no-clobber   resume/no-overwrite are SINK properties here:
-                       the LanceLite written-gate is the no-clobber
-                       equivalent, and round checkpoints are the resume
+  -C-                  Range-header continuation of a transfer that
+                       died mid-body (VERDICT r4 #7): when a read is
+                       cut short of the announced Content-Length, the
+                       client re-requests ``Range: bytes=<have>-`` and
+                       appends the 206 tail (up to MAX_RESUMES times;
+                       a server that ignores Range and replies 200
+                       restarts the body).  ``Response.resumes``
+                       counts the continuations per fetch and
+                       ``HttpFetcher.resume_total`` accumulates them
+                       per worker for stats/lineage.
+  --no-clobber         a SINK property here: the LanceLite
+                       written-gate is the no-clobber equivalent, and
+                       round checkpoints are the resume
   --parallel / -Z      parallelism comes from Ray map_batches tasks
 
 ``host_map`` rewrites a logical host to a concrete ``scheme://netloc``
@@ -31,6 +41,7 @@ urls, only the socket connection is rewritten.
 from __future__ import annotations
 
 import gzip
+import http.client
 import io
 import ssl
 import urllib.error
@@ -60,6 +71,8 @@ class HttpFetcher:
     process / actor (the stateful-stage pattern: the opener, TLS
     context and header set are built once in __init__)."""
 
+    MAX_RESUMES = 3  # Range continuations per URL (curl -C- analog)
+
     def __init__(self, timeout: float = 15.0,
                  user_agent: str = USER_AGENT,
                  send_referer: bool = True,
@@ -68,6 +81,7 @@ class HttpFetcher:
         self.user_agent = user_agent
         self.send_referer = send_referer
         self.host_map = host_map or {}
+        self.resume_total = 0  # cumulative continuations this worker
         ctx = ssl.create_default_context()
         ctx.check_hostname = False  # curl -k
         ctx.verify_mode = ssl.CERT_NONE
@@ -87,23 +101,60 @@ class HttpFetcher:
     def __call__(self, url: str) -> Response:
         rest = url.split("://", 1)[-1]
         host = rest[:slash] if (slash := rest.find("/")) >= 0 else rest
-        headers = {
+        base_headers = {
             "User-Agent": self.user_agent,
             "Accept-Encoding": "gzip, deflate",  # curl --compressed
         }
         if self.send_referer and host:
-            headers["Referer"] = f"https://{host}"  # curl -e
-        req = urllib.request.Request(self._rewrite(url), headers=headers)
-        try:
-            with self.opener.open(req, timeout=self.timeout) as resp:
-                body = _decompress(resp.read(),
-                                   resp.headers.get("Content-Encoding", ""))
-                ctype = (resp.headers.get("Content-Type") or "") \
-                    .split(";")[0].strip()
-                return Response(status=resp.status, body=body,
-                                content_type=ctype)
-        except urllib.error.HTTPError as e:
-            # curl -f: fail on server errors, never hand back error pages
-            return Response(status=e.code, body=b"", content_type="")
-        except (urllib.error.URLError, OSError, ValueError):
-            return Response(status=0, body=b"", content_type="")
+            base_headers["Referer"] = f"https://{host}"  # curl -e
+        target = self._rewrite(url)
+        buf = b""
+        resumes = 0
+        status = 0
+        ctype = ""
+        enc = ""
+        expected: int | None = None
+        while True:
+            hdrs = dict(base_headers)
+            if buf:
+                hdrs["Range"] = f"bytes={len(buf)}-"  # curl -C-
+            req = urllib.request.Request(target, headers=hdrs)
+            truncated = False
+            try:
+                with self.opener.open(req, timeout=self.timeout) as resp:
+                    if not buf or resp.status != 206:
+                        # fresh body — also the server-ignored-Range
+                        # path (a 200 reply to a Range request
+                        # restarts the body from byte 0)
+                        buf = b""
+                        status = resp.status
+                        ctype = (resp.headers.get("Content-Type") or "") \
+                            .split(";")[0].strip()
+                        enc = resp.headers.get("Content-Encoding", "")
+                        cl = resp.headers.get("Content-Length")
+                        expected = int(cl) if cl and cl.isdigit() else None
+                    try:
+                        buf += resp.read()
+                    except http.client.IncompleteRead as e:
+                        # connection died mid-body with Content-Length
+                        # known — the resumable case
+                        buf += e.partial
+                        truncated = True
+            except urllib.error.HTTPError as e:
+                # curl -f: fail on server errors, never hand back error
+                # pages (incl. 416 on a stale Range)
+                return Response(status=e.code, body=b"", content_type="")
+            except (urllib.error.URLError, OSError, ValueError):
+                if not buf:
+                    return Response(status=0, body=b"", content_type="")
+                truncated = True  # died mid-body: try to resume
+            if not truncated and (expected is None or len(buf) >= expected):
+                return Response(status=status, body=_decompress(buf, enc),
+                                content_type=ctype, resumes=resumes)
+            if expected is None or resumes >= self.MAX_RESUMES:
+                # can't know where we are, or out of attempts — a
+                # truncated body must never reach the pipeline
+                return Response(status=0, body=b"", content_type="",
+                                resumes=resumes)
+            resumes += 1
+            self.resume_total += 1

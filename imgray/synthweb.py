@@ -134,6 +134,9 @@ class Response:
     status: int
     body: bytes
     content_type: str
+    # Range-continuation attempts HttpFetcher needed for this body
+    # (curl -C- analog; always 0 for the in-process synthetic fetcher)
+    resumes: int = 0
 
     @property
     def text(self) -> str:
