@@ -225,7 +225,7 @@ def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict],
                                 "album": p.album_title, "caption": ""})
             drop_next = False
             if album_gate is not None and p.album_hrefs:
-                hrefs, labels = [], []
+                hrefs = []
                 all_mode = False
                 n_alb = len(p.album_hrefs)
                 albs = list(zip(p.album_hrefs,
@@ -233,18 +233,15 @@ def parse_page_batch(batch: pa.Table, fetch, site_cfg: list[dict],
                 for i, (href, label) in enumerate(albs):
                     if all_mode:
                         hrefs.append(href)
-                        labels.append(label)
                         continue
                     v = str(album_gate(label, i, n_alb, url)).strip().lower()
                     if v in ("y", "yes", ""):
                         hrefs.append(href)
-                        labels.append(label)
                     elif v in ("n", "no"):
                         drop_next = True  # ref :455: next_sel = None
                     elif v in ("a", "all"):
                         all_mode = True
                         hrefs.append(href)
-                        labels.append(label)
                     else:  # cancel: stop the chain (ref :462-466)
                         drop_next = True
                         break

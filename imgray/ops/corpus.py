@@ -283,10 +283,14 @@ def rare_terms(ds, k: int = 3, text_col: str = "text",
 
     if mode not in (None, "broadcast", "partitioned"):
         raise ValueError(f"bad mode: {mode!r}")
+    df_tab = None
     if mode is None:
-        n_vocab = inverted_index(ds, text_col=text_col, id_col=id_col,
-                                 posting_cap=0).count()
-        mode = "broadcast" if n_vocab <= vocab_threshold \
+        # ADVICE r4: materialize the inverted index ONCE for the
+        # topology pick and reuse it in the broadcast branch — never
+        # two full corpus passes
+        df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
+                                posting_cap=0).materialize()
+        mode = "broadcast" if df_tab.count() <= vocab_threshold \
             else "partitioned"
     if mode == "partitioned":
         wdf = _doc_term_df(ds, text_col, id_col, num_partitions,
@@ -302,8 +306,9 @@ def rare_terms(ds, k: int = 3, text_col: str = "text",
                                       True).select(out_cols),
             num_partitions)
 
-    df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
-                            posting_cap=0)
+    if df_tab is None:
+        df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
+                                posting_cap=0)
     df_map = {}
     for b in df_tab.iter_batches(batch_format="pyarrow"):
         t = pa.table(b)
@@ -360,10 +365,13 @@ def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
     if mode not in (None, "broadcast", "partitioned"):
         raise ValueError(f"bad mode: {mode!r}")
     n_docs = ds.count()
+    df_tab = None
     if mode is None:
-        n_vocab = inverted_index(ds, text_col=text_col, id_col=id_col,
-                                 posting_cap=0).count()
-        mode = "broadcast" if n_vocab <= vocab_threshold \
+        # ADVICE r4: one materialized inverted index serves both the
+        # topology pick and the broadcast branch
+        df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
+                                posting_cap=0).materialize()
+        mode = "broadcast" if df_tab.count() <= vocab_threshold \
             else "partitioned"
     if mode == "partitioned":
         import numpy as np
@@ -394,8 +402,9 @@ def tfidf_top_terms(ds, k: int = 3, text_col: str = "text",
             lambda p: _keep_k_per_doc(p, id_col, sort_keys, k,
                                       True).select(out_cols),
             num_partitions)
-    df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
-                            posting_cap=0)
+    if df_tab is None:
+        df_tab = inverted_index(ds, text_col=text_col, id_col=id_col,
+                                posting_cap=0)
     df_map = {}
     for b in df_tab.iter_batches(batch_format="pyarrow"):
         t = pa.table(b)
