@@ -182,16 +182,48 @@ def run_queries(sf_dir: str, retries: int,
     return out, steal, tries
 
 
+def _wait_quiet_load(quiet: float, max_wait: float) -> float:
+    """Bounded wait for the 1-min loadavg to fall below ``quiet`` —
+    the crawl leg is the longest window in the suite and therefore the
+    most exposed to external-tenant bursts (VERDICT r4 #4), so it is
+    worth starting it on a quiet host."""
+    t_end = time.time() + max_wait
+    load = os.getloadavg()[0]
+    while load > quiet and time.time() < t_end:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return round(load, 2)
+
+
 def main_bench() -> None:
     _init_ray(NUM_CPUS)
     import ray
 
     retries = int(os.environ.get("IMGRAY_BENCH_RETRIES", "2"))
     steal_gate = float(os.environ.get("IMGRAY_BENCH_STEAL_GATE", "2.0"))
+    # VERDICT r4 #4: the crawl leg dominates suite wall and was the
+    # only leg to trip the 2% gate in r4 — give it MORE retries, a
+    # TIGHTER gate (1%), and a quiet-load gate before each attempt so
+    # BENCH_r05 reports a clean window (attempts stay documented)
+    crawl_retries = int(os.environ.get("IMGRAY_BENCH_CRAWL_RETRIES", "3"))
+    crawl_gate = float(os.environ.get("IMGRAY_BENCH_CRAWL_STEAL_GATE",
+                                      "1.0"))
+    crawl_quiet = float(os.environ.get("IMGRAY_BENCH_CRAWL_QUIET_LOAD",
+                                       "4.0"))
     t0 = time.time()
-    crawl_wall, crawl_steal, crawl, crawl_tries = _timed(
-        lambda: run_crawl(NUM_CPUS), retries=min(retries, 1),
-        steal_gate=steal_gate)
+    # retry on the INNER measurement (run_crawl's own steal window
+    # around cr.run()) — the quiet-load wait sits outside it, so idle
+    # sleep can never dilute the recorded steal%
+    crawl_attempts = []
+    for _ in range(crawl_retries + 1):
+        _wait_quiet_load(crawl_quiet, max_wait=120.0)
+        c = run_crawl(NUM_CPUS)
+        crawl_attempts.append(c)
+        if c["steal_pct"] <= crawl_gate:
+            break
+    crawl = min(crawl_attempts,
+                key=lambda c: (c["steal_pct"], c["wall_s"]))
+    crawl_tries = len(crawl_attempts)
     queries, steal, tries = run_queries(SF_DIR, retries, steal_gate)
     queries["crawl"] = crawl["wall_s"]
     steal["crawl"] = crawl["steal_pct"]
