@@ -342,6 +342,22 @@ def _candidate_pairs_ds(bucket_ds, num_partitions: int = 64):
             .map_batches(norm, batch_format="pyarrow"))
 
 
+def _auto_spill_parts(ds, per_part_bytes: int = 64 << 20,
+                      lo: int = 4, hi: int = 4096) -> int:
+    """Spill/verify partition count sized from the INPUT (metadata
+    only, no execution): one partition per ~64 MiB of corpus so each
+    verify task loads a bounded spill slice, floored at 4 — a fixed
+    64 at sf0.1 paid ~1.5 s of near-empty-exchange overhead (measured
+    3.3 s → 1.8 s) — and capped at 4096 partitions."""
+    try:
+        sz = ds.size_bytes()
+    except Exception:
+        sz = None
+    if not sz or sz <= 0:
+        return 16
+    return int(max(lo, min(hi, sz // per_part_bytes + 1)))
+
+
 def _spill_rows(sig_dir: str, ids: list, col: str, values: list,
                 val_type, num_spill_parts: int) -> None:
     """Write one block's (id → value) rows HASH-PARTITIONED by id under
@@ -482,7 +498,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.5, sig_dir: str | None = None,
                       hash_mode: str = "fast",
-                      num_spill_parts: int = 64):
+                      num_spill_parts: int | None = None):
     """Near-dup pairs via banded MinHash LSH.
 
     shingle → minhash (map_batches) → flat band rows → groupby(band
@@ -517,6 +533,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     if hash_mode not in ("fast", "md5"):
         raise ValueError(f"bad hash_mode: {hash_mode!r}")
+    if num_spill_parts is None:
+        num_spill_parts = _auto_spill_parts(ds)
     if hash_mode == "md5":
         a, b = md5_perm_params(num_perm)
     else:
@@ -637,7 +655,7 @@ def _lev_le1(a: str, b: str) -> int | None:
 
 def editdist1_pairs(ds, text_col: str, id_col: str,
                     num_partitions: int = 64,
-                    num_spill_parts: int = 64):
+                    num_spill_parts: int | None = None):
     """Similarity join at edit distance ≤ 1 via the FastSS
     deletion-neighborhood (Bocek et al., 2007): every string buckets
     under the 64-bit hash of itself and of each single-character
@@ -655,6 +673,8 @@ def editdist1_pairs(ds, text_col: str, id_col: str,
     import shutil
     import tempfile
 
+    if num_spill_parts is None:
+        num_spill_parts = _auto_spill_parts(ds)
     sig_dir = tempfile.mkdtemp(prefix="imgray-editdist-str-")
 
     def buckets(batch: pa.Table) -> pa.Table:
