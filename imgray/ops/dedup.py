@@ -277,16 +277,17 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def _dedup_pairs(t: pa.Table, value_col: str, id_type=pa.int64()) -> pa.Table:
-    """Driver-side dedup of (a, b) pairs surfaced by several bands,
-    keeping the last value seen per pair; sorted output."""
-    seen: dict[tuple, object] = {}
-    for r in t.to_pylist():
-        seen[(r["a"], r["b"])] = r[value_col]
-    ks = sorted(seen)
-    return pa.table({"a": pa.array([k[0] for k in ks], type=id_type),
-                     "b": pa.array([k[1] for k in ks], type=id_type),
-                     value_col: pa.array([seen[k] for k in ks],
-                                         type=t.schema.field(value_col).type)})
+    """Dedup of CONFIRMED (a, b) pairs surfaced by several bands —
+    every band computes the identical value from the same signatures,
+    so any per-pair pick is correct (min keeps it deterministic).
+    Vectorized Arrow group_by + sort, no Python loop."""
+    g = t.group_by(["a", "b"]).aggregate([(value_col, "min")])
+    return pa.table({
+        "a": pc.cast(g.column("a"), id_type),
+        "b": pc.cast(g.column("b"), id_type),
+        value_col: pc.cast(g.column(f"{value_col}_min"),
+                           t.schema.field(value_col).type),
+    }).sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 def _pairs_over_buckets(sig_ds, key_col: str, pair_fn, schema: pa.Schema,
@@ -1004,13 +1005,26 @@ def shared_ngram_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     parts = coarse_partition_groups(
         ds.map_batches(sigs, batch_format="pyarrow"), "key", per_part,
         num_partitions)
-    t = _collect_pairs(parts, PART)
-    counts2: dict[tuple, int] = {}
-    for x, y, s in zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
-                       t.column("shared").to_pylist()):
-        counts2[(x, y)] = counts2.get((x, y), 0) + s
-    ks = sorted(k for k, v in counts2.items() if v >= min_shared)
-    return pa.table({"a": pa.array([k[0] for k in ks], type=pa.int64()),
-                     "b": pa.array([k[1] for k in ks], type=pa.int64()),
-                     "shared": pa.array([counts2[k] for k in ks],
-                                        type=pa.int64())})
+
+    # different grams of one pair land in different gram partitions —
+    # combine per-pair counts in a SECOND (pair-keyed) exchange, not on
+    # the driver (same class of fix as the LSH verify): only pairs that
+    # clear min_shared are ever collected
+    def norm(batch: pa.Table) -> pa.Table:
+        if "shared" not in batch.schema.names:
+            return PART.empty_table()
+        return batch.select(["a", "b", "shared"])
+
+    def final(part: pa.Table) -> pa.Table:
+        g = part.group_by(["a", "b"]).aggregate([("shared", "sum")])
+        g = pa.table({"a": g.column("a"), "b": g.column("b"),
+                      "shared": pc.cast(g.column("shared_sum"),
+                                        pa.int64())})
+        return g.filter(pc.greater_equal(g.column("shared"),
+                                         min_shared))
+
+    combined = coarse_partition_groups(
+        parts.map_batches(norm, batch_format="pyarrow"), "a", final,
+        num_partitions)
+    t = _collect_pairs(combined, PART)
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
