@@ -366,16 +366,17 @@ def q_minhash_pairs_md5(sf_dir: str):
 
 
 def q_minhash_pairs_md5_p5(sf_dir: str):
-    """Spill-topology twin of minhash_pairs_md5 (VERDICT r5 pattern:
-    same oracle, forced non-default partitioning): 5 spill/verify
-    partitions instead of 64 — MUST hash-match the same SQL, proving
-    the distributed co-partitioned verify is a topology choice, not a
-    semantics choice."""
+    """Scale-topology twin of minhash_pairs_md5 (same oracle, forced
+    non-default everything): verify="partitioned" forces the
+    co-partitioned exchange verify (auto mode would pick the bounded
+    driver fast path at this candidate count) at 5 spill partitions —
+    MUST hash-match the same SQL, proving the distributed verify is a
+    topology choice, not a semantics choice."""
     from ..ops.dedup import minhash_lsh_pairs
 
     ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5, hash_mode="md5",
-                             num_spill_parts=5)
+                             num_spill_parts=5, verify="partitioned")
 
 
 def q_fuzzy_customer_names(sf_dir: str):
@@ -391,12 +392,13 @@ def q_fuzzy_customer_names(sf_dir: str):
 
 
 def q_fuzzy_customer_names_p5(sf_dir: str):
-    """Spill-topology twin of fuzzy_customer_names: 5 spill/verify
-    partitions, same DuckDB levenshtein oracle."""
+    """Scale-topology twin of fuzzy_customer_names: forced partitioned
+    verify at 5 spill partitions, same DuckDB levenshtein oracle."""
     from ..ops.dedup import editdist1_pairs
 
     ds = _read_sized(sf_dir, "customer", ["c_custkey", "c_name"])
-    return editdist1_pairs(ds, "c_name", "c_custkey", num_spill_parts=5)
+    return editdist1_pairs(ds, "c_name", "c_custkey", num_spill_parts=5,
+                           verify="partitioned")
 
 
 def q_simhash_pairs(sf_dir: str):
