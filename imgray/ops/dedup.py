@@ -865,6 +865,67 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 # ---------------------------------------------------------- n-gram Jaccard
 
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 4, min_shared: int = 1,
+                        num_partitions: int = 64) -> pa.Table:
+    """EXACT n-gram Jaccard similarity join: for every document pair
+    sharing ≥ ``min_shared`` distinct whitespace n-grams, the exact
+    Jaccard coefficient of their distinct-gram sets in integer
+    micro-units — ``jacc_u = round(1e6 * |A∩B| / (|A|+|B|-|A∩B|))``
+    with the same float64 op order and half-away rounding as the SQL
+    oracle, so the whole pipeline hash-matches.
+
+    Composition (all distributed): :func:`shared_ngram_pairs` yields
+    the confirmed (a, b, shared=|A∩B|) table via gram-keyed +
+    pair-keyed exchanges; per-doc distinct-gram sizes |A| stream past
+    an ``is_in`` filter on the involved ids, so the collected size
+    rows are bounded by 2×pairs, never O(corpus).  The only
+    approximation is the 64-bit gram hash (~2^-64 collision odds per
+    pair), shared with the substring-dedup operator."""
+    from .text import ws_ngrams
+
+    OUT = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                     ("jacc_u", pa.int64())])
+    pairs = shared_ngram_pairs(ds, text_col, id_col, n, min_shared,
+                               num_partitions)
+    if pairs.num_rows == 0:
+        return OUT.empty_table()
+    involved = pa.array(
+        sorted(set(pairs.column("a").to_pylist())
+               | set(pairs.column("b").to_pylist())), type=pa.int64())
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_in(batch.column(id_col),
+                                     value_set=involved))
+        ng = [len(set(ws_ngrams(t or "", n)))
+              for t in kept.column(text_col).to_pylist()]
+        return pa.table({"id": kept.column(id_col),
+                         "ng": pa.array(ng, type=pa.int64())})
+
+    import ray as _ray
+
+    stabs = [t for t in (_ray.get(r) for r in
+                         ds.map_batches(sizes, batch_format="pyarrow")
+                         .to_arrow_refs()) if t.num_rows > 0]
+    size_map: dict[int, int] = {}
+    for t in stabs:
+        size_map.update(zip(t.column("id").to_pylist(),
+                            t.column("ng").to_pylist()))
+    na = np.array([size_map[x] for x in pairs.column("a").to_pylist()],
+                  dtype=np.float64)
+    nb = np.array([size_map[y] for y in pairs.column("b").to_pylist()],
+                  dtype=np.float64)
+    sh = pairs.column("shared").to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    jacc = (1000000.0 * sh) / (na + nb - sh)  # same op order as SQL
+    jacc_u = pc.cast(pc.round(pa.array(jacc), 0,
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+    return pa.table({"a": pairs.column("a"), "b": pairs.column("b"),
+                     "jacc_u": jacc_u}).sort_by(
+        [("a", "ascending"), ("b", "ascending")])
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     sa = set(map(tuple, _ngrams(a, n)))
     sb = set(map(tuple, _ngrams(b, n)))

@@ -530,12 +530,26 @@ def q_decontam(sf_dir: str):
 def q_substring_pairs(sf_dir: str):
     """Exact-substring dedup pairs (Lee et al. 2022 style): document
     pairs sharing ≥1 distinct whitespace-32-gram.  Only 8-byte gram
-    hashes enter the shuffle; per-partition pair-count partials merge
-    on the driver."""
+    hashes enter the shuffle; per-partition pair-count partials
+    combine in a second pair-keyed exchange (round 5 — no driver
+    merge)."""
     from ..ops.dedup import shared_ngram_pairs
 
     ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
     return shared_ngram_pairs(ds, n=32)
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard similarity join (the brief's "n-gram
+    Jaccard" dedup method as a first-class pipeline, not just a verify
+    primitive): document pairs sharing ≥1 distinct whitespace 4-gram,
+    scored with the exact Jaccard coefficient of their distinct-gram
+    sets in integer micro-units.  402 pairs at sf0.01; the whole
+    pipeline (candidate condition AND score) hash-matches DuckDB."""
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    ds = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=4)
 
 
 def q_langid(sf_dir: str):
@@ -2460,6 +2474,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "decontam": q_decontam,
     "substring_pairs": q_substring_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "rep_stats": q_rep_stats,
     "pii_redact": q_pii_redact,
     "top_bigrams": q_top_bigrams,
@@ -3538,3 +3553,26 @@ ORACLE_SQL["minhash_pairs_md5"] = _minhash_md5_sql()
 ORACLE_SQL["minhash_pairs_md5_p5"] = _minhash_md5_sql()
 ORACLE_SQL["fuzzy_customer_names_p5"] = ORACLE_SQL["fuzzy_customer_names"]
 ORACLE_SQL["dup_components_star"] = ORACLE_SQL["dup_components"]
+ORACLE_SQL["jaccard_pairs"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(t) - 3, 0))) AS i)),
+    sizes AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+    shared AS (
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(count(*) AS BIGINT) AS sh
+        FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+    SELECT s.a, s.b,
+           CAST(round(1000000.0 * s.sh / (sa.ng + sb.ng - s.sh))
+                AS BIGINT) AS jacc_u
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.a
+    JOIN sizes sb ON sb.doc_id = s.b
+    ORDER BY 1, 2"""

@@ -165,6 +165,26 @@ def test_minhash_spill_partition_invariance(ray_session):
     assert base.to_pylist() == alt.to_pylist()
 
 
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Planted overlap: docs 0/1 share exactly half their distinct
+    2-grams; unrelated doc 2 never pairs; identical docs score 1e6."""
+    import ray.data
+
+    from imgray.ops.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "a b c d"},      # 2-grams {ab, bc, cd}
+        {"doc_id": 1, "text": "a b c x"},      # {ab, bc, cx} → ∩=2 ∪=4
+        {"doc_id": 2, "text": "q r s t"},
+        {"doc_id": 3, "text": "a b c d"},      # identical to 0
+    ])
+    out = ngram_jaccard_pairs(ds, n=2)
+    got = {(r["a"], r["b"]): r["jacc_u"] for r in out.to_pylist()}
+    assert got[(0, 3)] == 1_000_000
+    assert got[(0, 1)] == got[(1, 3)] == 500_000
+    assert not any(2 in p for p in got)
+
+
 def test_simhash_pairs(ray_session):
     from imgray.ops.dedup import simhash_pairs, simhash64, hamming64
 
