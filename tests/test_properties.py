@@ -109,6 +109,59 @@ def test_lev_le1_matches_full_dp(a, b):
         assert got is None, (a, b)
 
 
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=40),
+                min_size=0, max_size=200),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_cuckoo_growth_invariants(keys, seed):
+    """Growing filter: NEVER a false negative, generations strictly
+    doubling, count exact — regardless of insertion volume vs the
+    constructor capacity."""
+    from imgray.state.cuckoo import CuckooFilter, _hash64
+
+    cf = CuckooFilter(capacity=64, seed=seed)
+    for k in keys:
+        cf.insert_hash(_hash64(k))
+    assert cf.count == len(keys)
+    assert all(cf.contains_hash(_hash64(k)) for k in keys)
+    sizes = [nb for _, nb in cf.gens]
+    assert all(b == a * 2 for a, b in zip(sizes, sizes[1:]))
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=60),
+       st.integers(0, 30))
+@settings(max_examples=10, deadline=None)
+def test_star_cc_matches_union_find(edges, hub):
+    """connected_components_star == the union-find oracle on arbitrary
+    small graphs with a planted hub fan (runs the Ray pipeline, so
+    keep example counts modest)."""
+    import ray
+
+    if not ray.is_initialized():  # session fixture owns the session in CI
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+    import pyarrow as pa
+    import ray.data
+
+    from imgray.ops.dedup import union_find_groups
+    from imgray.ops.graph import connected_components_star
+
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(hub, v) for v in range(0, 30, 7) if v != hub]
+    if not edges:
+        return
+    a, b = zip(*edges)
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(a, type=pa.int64()),
+        "b": pa.array(b, type=pa.int64())})).repartition(2)
+    out = pa.concat_tables([pa.table(t) for t in connected_components_star(
+        ds).iter_batches(batch_format="pyarrow")])
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("component").to_pylist()))
+    assert got == union_find_groups(edges)
+
+
 @given(st.text(alphabet="abcx", min_size=1, max_size=8),
        st.integers(0, 7), st.sampled_from("abcxz"))
 @settings(max_examples=200, deadline=None)
