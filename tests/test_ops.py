@@ -74,12 +74,15 @@ def test_minhash_md5_gramless_doc_never_pairs(ray_session):
     from imgray.ops.dedup import minhash_lsh_pairs
 
     # two identical docs with < 3 tokens have no grams → no signature
-    # → no pairs (matches the oracle's empty generate_series range)
-    ds = ray.data.from_items([{"doc_id": 0, "text": "ab cd"},
-                              {"doc_id": 1, "text": "ab cd"},
-                              {"doc_id": 2, "text": ""}])
-    pairs = minhash_lsh_pairs(ds, threshold=0.5, hash_mode="md5")
-    assert pairs.num_rows == 0
+    # → no pairs (matches the oracle's empty generate_series range);
+    # BOTH verify topologies must survive the empty candidate stream
+    for mode in (None, "partitioned"):
+        ds = ray.data.from_items([{"doc_id": 0, "text": "ab cd"},
+                                  {"doc_id": 1, "text": "ab cd"},
+                                  {"doc_id": 2, "text": ""}])
+        pairs = minhash_lsh_pairs(ds, threshold=0.5, hash_mode="md5",
+                                  verify=mode)
+        assert pairs.num_rows == 0, mode
 
 
 def test_minhash_bad_hash_mode_rejected(ray_session):
