@@ -379,6 +379,44 @@ def q_minhash_pairs_md5_p5(sf_dir: str):
                              num_spill_parts=5, verify="partitioned")
 
 
+def q_minhash_keepers(sf_dir: str):
+    """END-TO-END corpus dedup decision — the product the dedup ops
+    exist for: md5 MinHash-LSH pairs → large-star/small-star
+    clustering → per-document keep flag (the cluster-min doc survives,
+    every other member drops, unpaired docs keep themselves).  The
+    ENTIRE composition hash-matches one SQL statement: the band-join
+    pair CTE, the recursive-closure components, and the keep rule.
+    Scale shape: pairs/components are the CONFIRMED near-dup set
+    (orders of magnitude below corpus size); the keep flag itself is
+    one broadcast-lookup map_batches over the doc-id column."""
+    from ..ops.dedup import minhash_lsh_pairs
+    from ..ops.graph import connected_components_star
+
+    docs = _read_sized(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, hash_mode="md5")
+    comp_map: dict[int, int] = {}
+    if pairs.num_rows:
+        comp = _collect(connected_components_star(
+            ray.data.from_arrow(pairs.select(["a", "b"]))))
+        comp_map = dict(zip(comp.column("doc_id").to_pylist(),
+                            comp.column("component").to_pylist()))
+    ref = ray.put(comp_map)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        ids = batch.column("doc_id").to_pylist()
+        comp_l = [cm.get(i, i) for i in ids]
+        keep = [1 if c == i else 0 for i, c in zip(ids, comp_l)]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "component": pa.array(comp_l, type=pa.int64()),
+            "keep": pa.array(keep, type=pa.int64()),
+        })
+
+    ids_ds = _read(sf_dir, "documents", ["doc_id"])
+    return _collect(ids_ds.map_batches(flag, batch_format="pyarrow"))
+
+
 def q_fuzzy_customer_names(sf_dir: str):
     """Similarity (fuzzy) join: customer-name pairs within Levenshtein
     distance 1 via the FastSS deletion-neighborhood bucketing — exact
@@ -2499,6 +2537,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "minhash_pairs_md5": q_minhash_pairs_md5,
     "minhash_pairs_md5_p5": q_minhash_pairs_md5_p5,
+    "minhash_keepers": q_minhash_keepers,
     "fuzzy_customer_names": q_fuzzy_customer_names,
     "fuzzy_customer_names_p5": q_fuzzy_customer_names_p5,
     "order_bulk_counts": q_order_bulk_counts,
@@ -3551,6 +3590,20 @@ def _minhash_md5_sql(num_perm: int = 64, bands: int = 16,
 
 ORACLE_SQL["minhash_pairs_md5"] = _minhash_md5_sql()
 ORACLE_SQL["minhash_pairs_md5_p5"] = _minhash_md5_sql()
+ORACLE_SQL["minhash_keepers"] = f"""
+    WITH RECURSIVE pairs AS (SELECT a, b FROM ({_minhash_md5_sql()}) mp),
+    sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(n, m) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m),
+    comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+           CAST(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ORDER BY 1"""
 ORACLE_SQL["fuzzy_customer_names_p5"] = ORACLE_SQL["fuzzy_customer_names"]
 ORACLE_SQL["dup_components_star"] = ORACLE_SQL["dup_components"]
 ORACLE_SQL["jaccard_pairs"] = r"""
