@@ -3606,6 +3606,16 @@ ORACLE_SQL["minhash_keepers"] = f"""
     ORDER BY 1"""
 ORACLE_SQL["fuzzy_customer_names_p5"] = ORACLE_SQL["fuzzy_customer_names"]
 ORACLE_SQL["dup_components_star"] = ORACLE_SQL["dup_components"]
+# embedding_neardup's output is PROVABLE from the construction (see
+# q_embedding_neardup): identical planted vectors share every LSH
+# bucket key, so they are always candidates and always pass the cosine
+# verify at 1.0; i.i.d. gaussian 64-dim base vectors exceed cosine 0.9
+# with probability ~e^-50, so nothing else can appear.  The oracle
+# encodes that ground truth.
+ORACLE_SQL["embedding_neardup"] = """
+    SELECT CAST(vec_id AS BIGINT) AS a,
+           CAST(vec_id + 100000 AS BIGINT) AS b
+    FROM embeddings WHERE vec_id % 25 = 0 ORDER BY 1"""
 ORACLE_SQL["jaccard_pairs"] = r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
